@@ -1,0 +1,42 @@
+"""Enrich (broadcast taxonomy) + partial-count aggregation unit tests."""
+
+import pyarrow as pa
+
+from ulp_ray.stages.aggregate import partial_counts_fn
+from ulp_ray.stages.enrich import DEFAULT_TAXONOMY, Enricher, enrich_batch
+
+
+def test_enrich_batch_lookup():
+    batch = pa.table(
+        {
+            "role": ["user", "assistant", "tool", "ghost"],
+            "tool": ["", "bash", "read", "wand"],
+        }
+    )
+    out = enrich_batch(batch, DEFAULT_TAXONOMY)
+    assert out["role_class"].to_pylist() == ["human", "model", "infra", "unknown"]
+    assert out["tool_class"].to_pylist() == ["none", "exec", "retrieval", "unknown"]
+
+
+def test_enricher_plain_construction():
+    # actor __init__ errors surface late in Ray — smoke the class directly
+    e = Enricher()
+    batch = pa.table({"role": ["system"], "tool": ["edit"]})
+    out = e(batch)
+    assert out["role_class"].to_pylist() == ["infra"]
+    assert out["tool_class"].to_pylist() == ["mutation"]
+
+
+def test_partial_counts_fn():
+    batch = pa.table(
+        {
+            "rule": ["a", "a", "b", "a"],
+            "tool": ["t", "t", "t", "u"],
+            "role": ["r", "r", "r", "r"],
+            "payload": [1, 2, 3, 4],
+        }
+    )
+    out = partial_counts_fn(["rule", "tool", "role"])(batch)
+    got = {(r["rule"], r["tool"], r["role"]): r["n"] for r in out.to_pylist()}
+    assert got == {("a", "t", "r"): 2, ("b", "t", "r"): 1, ("a", "u", "r"): 1}
+    assert out.column_names == ["rule", "tool", "role", "n"]

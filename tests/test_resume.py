@@ -1,0 +1,81 @@
+"""Resume-from-checkpoint: a run interrupted after k<P partitions resumes
+without recomputing completed partitions and produces identical outputs
+(the fix for the reference's duplicate-on-reingest flaw,
+src/elastic.rs:108)."""
+
+import glob
+import hashlib
+import json
+import os
+import shutil
+
+import pytest
+
+from ulp_ray.fixtures import write_transcripts
+from ulp_ray.pipelines.flagship import run_pipeline
+from ulp_ray.rules import Rule, RuleRegistry, default_transcript_registry
+
+N_TURNS = 4_000
+P = 8
+
+
+def _digest_tree(root: str) -> dict[str, str]:
+    out = {}
+    for f in sorted(glob.glob(os.path.join(root, "**", "*"), recursive=True)):
+        if os.path.isfile(f):
+            out[os.path.relpath(f, root)] = hashlib.sha256(
+                open(f, "rb").read()
+            ).hexdigest()
+    return out
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("transcripts"))
+    write_transcripts(d, N_TURNS, n_files=P)
+    return d
+
+
+def test_resume_skips_completed_partitions(ray_session, data_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("run"))
+    res1 = run_pipeline(data_dir, out, partitions=P)
+    assert res1.partitions_run == P
+    full_rollup = _digest_tree(os.path.join(out, "rollup"))
+    sink_digests = _digest_tree(os.path.join(out, "sinks"))
+
+    # simulate a crash after 5 of 8 partitions: destroy 3 partitions'
+    # manifests + sinks + partials
+    for pi in (5, 6, 7):
+        os.remove(os.path.join(out, "_manifest", f"partition={pi}.json"))
+        shutil.rmtree(os.path.join(out, "sinks", f"partition={pi}"))
+        os.remove(os.path.join(out, "rollup_partials", f"partition={pi}.parquet"))
+
+    res2 = run_pipeline(data_dir, out, partitions=P)
+    assert res2.partitions_run == 3
+    assert res2.partitions_skipped == 5
+    # rollup identical byte-for-byte; all sinks byte-identical
+    assert _digest_tree(os.path.join(out, "rollup")) == full_rollup
+    assert _digest_tree(os.path.join(out, "sinks")) == sink_digests
+    assert res2.rows_routed == res1.rows_routed
+
+
+def test_registry_change_invalidates_checkpoints(ray_session, data_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("run"))
+    run_pipeline(data_dir, out, partitions=4)
+    # different registry version ⇒ all partitions recompute
+    reg = default_transcript_registry().add(Rule("extra", r"zzz-never-matches"))
+    res = run_pipeline(data_dir, out, registry=reg, partitions=4)
+    assert res.partitions_run == 4
+    assert res.partitions_skipped == 0
+
+
+def test_manifest_records_lineage(ray_session, data_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("run"))
+    res = run_pipeline(data_dir, out, partitions=4)
+    m = json.load(open(os.path.join(out, "_manifest", "partition=0.json")))
+    assert m["rows_in"] > 0
+    assert m["rows_in"] == m["rows_routed"]
+    assert len(m["input_fragments"]) == 2  # 8 files / 4 partitions
+    assert all(os.path.isfile(f) for f in m["input_fragments"])
+    assert m["counts_sha256"] and m["duration_s"] >= 0
+    assert m["registry_version"] == default_transcript_registry().version

@@ -1,0 +1,115 @@
+"""Rule registry: first-match-wins, typed captures, routes (the open
+replacement for the reference's closed parser enum, src/lib.rs:35-93)."""
+
+import pyarrow as pa
+import pytest
+
+from ulp_ray.rules import (
+    Capture,
+    CompiledRegistry,
+    Rule,
+    RuleRegistry,
+    UNMATCHED,
+    default_transcript_registry,
+)
+
+
+@pytest.fixture(scope="module")
+def compiled() -> CompiledRegistry:
+    return default_transcript_registry().compile()
+
+
+def test_first_match_wins_and_fallback(compiled):
+    texts = pa.array(
+        [
+            "Calling tool bash with args path=/tmp/x timeout=30",
+            "ERROR [auth] code=0x1A retry=true: boom boom",
+            "connection from 10.0.0.1:8080 latency=12.5ms",
+            "status=ok at 2026-01-02T03:04:05+00:00 items=7",
+            "lorem ipsum dolor sit amet.",
+        ]
+    )
+    out = compiled.parse_column(texts)
+    assert out["rule"].to_pylist() == [
+        "tool_call",
+        "error_line",
+        "net_event",
+        "status",
+        UNMATCHED,
+    ]
+
+
+def test_typed_captures(compiled):
+    texts = pa.array(
+        [
+            "ERROR [cache] code=0xFF retry=false: x",
+            "connection from 0:0:0:0:0:0:0:1:443 latency=1.5ms",
+            "status=null at 2026-01-02T03:04:05+00:00 items=12",
+            "status=0 at 2026-01-02T03:04:05+00:00 items=1",
+            "Calling tool read with args path=/a/b timeout=600",
+        ]
+    )
+    out = compiled.parse_column(texts)
+    rows = out.to_pylist()
+    # hex int via str_int (types.rs:168-181)
+    assert rows[0]["x_code"] == 255
+    assert rows[0]["x_retry"] is False
+    # ipv6 canonicalized (tests.rs:520-547)
+    assert rows[1]["x_ip"] == "::1"
+    assert rows[1]["x_port"] == 443
+    assert rows[1]["x_latency"] == 1.5
+    # null sentinels (types.rs:150-156): "null" and "0" → null
+    assert rows[2]["x_status"] is None
+    assert rows[3]["x_status"] is None
+    assert rows[2]["x_items"] == 12
+    # ts parsed as RFC-3339 UTC
+    assert rows[2]["x_ts"] is not None
+    assert rows[4]["x_timeout"] == 600
+    # captures from non-winning rules stay null
+    assert rows[4]["x_code"] is None
+
+
+def test_routes_default_and_template():
+    reg = RuleRegistry(
+        [
+            Rule(
+                "evt",
+                r"evt (?P<x_kind>\w+)",
+                (Capture("x_kind"),),
+                route="evt_{{x_kind}}",
+            ),
+            Rule("plain", r"plain"),
+        ]
+    )
+    c = reg.compile()
+    parsed = c.parse_column(pa.array(["evt Login", "plain text", "nothing"]))
+    routes = c.routes_for(parsed).to_pylist()
+    assert routes == ["evt_Login", "plain", UNMATCHED]
+
+
+def test_registry_version_changes_with_rules():
+    r1 = RuleRegistry([Rule("a", r"a")])
+    r2 = RuleRegistry([Rule("a", r"b")])
+    assert r1.version != r2.version
+    assert r1.version == RuleRegistry([Rule("a", r"a")]).version
+
+
+def test_duplicate_rule_names_rejected():
+    with pytest.raises(ValueError):
+        RuleRegistry([Rule("a", r"a"), Rule("a", r"b")])
+
+
+def test_capture_must_be_in_pattern():
+    with pytest.raises(ValueError):
+        Rule("a", r"a", (Capture("missing"),))
+
+
+def test_conflicting_capture_types_rejected():
+    reg = RuleRegistry(
+        [
+            Rule("a", r"(?P<x>\d+)", (Capture("x", "int"),)),
+            Rule("b", r"(?P<x>\w+)", (Capture("x", "str"),)),
+        ]
+    )
+    with pytest.raises(ValueError):
+        reg.compile()

@@ -1,0 +1,278 @@
+"""Flagship pipeline: parse → enrich → route → aggregate, with lineage and
+resume-from-checkpoint.
+
+Ray-Data lifecycle (SURVEY.md §3.4), replacing the reference's
+orchestrator/worker-thread design (``/root/reference/src/workerpool.rs``):
+
+    read_parquet(fragments)                        # pruned, many blocks
+      → map_batches(parse_fn, pyarrow, zero-copy)  # rule registry
+      → map_batches(Enricher, actor pool)          # broadcast taxonomy
+      → write_parquet(sinks/partition=i, partition_cols=["route"])
+    counts  = read_parquet(sinks/partition=i, columns=[rule,tool,role])
+              |> per-batch partial counts |> groupby.Sum    # tiny shuffle
+    manifest/partition=i.json                      # atomic, after durable
+
+The input fragment list is split into ``partitions`` deterministic groups
+(the checkpoint/resume granularity — the analog of ulp's per-job two-phase
+boundary, ``src/workerpool.rs:81-101``); each group streams end-to-end
+under Ray's streaming executor with backpressure. Aggregate counts are
+computed from the *durable* routed files (columnar read of three small
+columns), so the rollup doubles as a write-verification, and a partition is
+only marked complete after both its sinks and its partial counts exist.
+
+Scale notes (100 TB / multi-node):
+- parse+enrich are embarrassingly parallel map stages — no barrier;
+- the only all-to-all is the final Sum over pre-aggregated partials
+  (O(routes × batches) rows, not O(turns));
+- partition groups bound the blast radius of a failure: a re-run
+  recomputes only incomplete groups, and outputs are deterministic
+  overwrite-in-place (fixes the reference's duplicate-on-reingest flaw,
+  ``src/elastic.rs:108``).
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .._env import remote_env
+from ..rules import RuleRegistry, default_transcript_registry
+from ..stages.aggregate import count_rollup
+from ..stages.enrich import Enricher, put_taxonomy
+from ..stages.parse import make_parse_fn
+from ..stages.route import write_sink_schemas
+from ..state.manifest import (
+    PartitionManifest,
+    RunManifest,
+    counts_sha256,
+    load_completed,
+)
+
+__all__ = ["PipelineResult", "run_pipeline"]
+
+AGG_KEYS = ["rule", "tool", "role"]
+
+
+class _DeterministicFilenames:
+    """FilenameProvider: output names are a function of (task, block) only,
+    so a re-run of a partition overwrites the same paths byte-for-byte —
+    no per-execution UUIDs (resume idempotency, SURVEY.md §7.4)."""
+
+    def get_filename_for_block(self, block, write_uuid, task_index, block_index) -> str:
+        return f"part-{task_index:06d}-{block_index:06d}.parquet"
+
+    def get_filename_for_row(
+        self, row, write_uuid, task_index, block_index, row_index
+    ) -> str:  # pragma: no cover - parquet writes are block-level
+        return f"part-{task_index:06d}-{block_index:06d}-{row_index:09d}.parquet"
+
+
+@dataclass
+class PipelineResult:
+    run_dir: str
+    rows_in: int
+    rows_routed: int
+    counts: "pa.Table"
+    partitions_run: int
+    partitions_skipped: int
+    manifests: list[PartitionManifest] = field(default_factory=list)
+
+
+def _expand_inputs(inputs: str | list[str]) -> list[str]:
+    if isinstance(inputs, str):
+        if os.path.isdir(inputs):
+            files = sorted(globmod.glob(os.path.join(inputs, "*.parquet")))
+        else:
+            files = sorted(globmod.glob(inputs))
+    else:
+        files = sorted(inputs)
+    if not files:
+        raise FileNotFoundError(f"no parquet inputs under {inputs!r}")
+    return files
+
+
+def run_pipeline(
+    inputs: str | list[str],
+    out_dir: str,
+    registry: RuleRegistry | None = None,
+    taxonomy: dict | None = None,
+    partitions: int = 8,
+    resume: bool = True,
+    batch_size: int = 8192,
+    enrich_concurrency: tuple[int, int] | int | None = None,
+) -> PipelineResult:
+    """Run (or resume) the flagship pipeline over Parquet transcript files.
+
+    ``out_dir`` layout is the durable contract (SURVEY.md §7.5)::
+
+        out_dir/
+          sinks/partition=<i>/route=<route>/*.parquet
+          rollup_partials/partition=<i>.parquet
+          rollup/agg_counts.parquet
+          _manifest/partition=<i>.json , _manifest/run.json
+          _schemas/... (per-sink arrow schema sidecars)
+    """
+    import ray
+
+    registry = registry or default_transcript_registry()
+    files = _expand_inputs(inputs)
+    partitions = max(1, min(partitions, len(files)))
+    groups: list[list[str]] = [files[i::partitions] for i in range(partitions)]
+
+    completed = load_completed(out_dir) if resume else {}
+    # a registry change invalidates prior checkpoints
+    completed = {
+        i: m for i, m in completed.items() if m.registry_version == registry.version
+    }
+
+    taxonomy_ref = put_taxonomy(taxonomy)
+    parse_fn = make_parse_fn(registry)
+    cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
+    if enrich_concurrency is None:
+        enrich_concurrency = (1, max(2, cluster_cpus // 2))
+
+    manifests: list[PartitionManifest] = []
+    ran = 0
+    for pi, group in enumerate(groups):
+        if pi in completed:
+            manifests.append(completed[pi])
+            continue
+        t0 = time.monotonic()
+        rows_in = sum(pq.read_metadata(f).num_rows for f in group)
+        in_bytes = sum(os.path.getsize(f) for f in group)
+
+        sink_dir = os.path.join(out_dir, "sinks", f"partition={pi}")
+        if os.path.isdir(sink_dir):
+            shutil.rmtree(sink_dir)  # deterministic overwrite on retry
+
+        ds = ray.data.read_parquet(group)
+        ds = ds.map_batches(
+            parse_fn,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+            **remote_env(),
+        )
+        ds = ds.map_batches(
+            Enricher,
+            fn_constructor_kwargs={"taxonomy_ref": taxonomy_ref},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=enrich_concurrency,
+            **remote_env(),
+        )
+        from ray.data._internal.savemode import SaveMode
+
+        ds.write_parquet(
+            sink_dir,
+            partition_cols=["route"],
+            filename_provider=_DeterministicFilenames(),
+            mode=SaveMode.OVERWRITE,
+            ray_remote_args=remote_env(),
+        )
+
+        # partial rollup from the durable sink (columnar, 3 cols only)
+        routed = ray.data.read_parquet(sink_dir, columns=AGG_KEYS)
+        counts = count_rollup(routed, AGG_KEYS)
+        counts_tbl = _counts_to_table(counts)
+        partial_dir = os.path.join(out_dir, "rollup_partials")
+        os.makedirs(partial_dir, exist_ok=True)
+        pq.write_table(counts_tbl, os.path.join(partial_dir, f"partition={pi}.parquet"))
+
+        rows_routed = int(pa.compute.sum(counts_tbl["n"]).as_py() or 0)
+        m = PartitionManifest(
+            partition=pi,
+            input_fragments=group,
+            input_bytes=in_bytes,
+            rows_in=rows_in,
+            rows_routed=rows_routed,
+            counts_sha256=counts_sha256(
+                [tuple(r.values()) for r in counts_tbl.to_pylist()]
+            ),
+            duration_s=round(time.monotonic() - t0, 3),
+            registry_version=registry.version,
+        )
+        m.write(out_dir)
+        manifests.append(m)
+        ran += 1
+
+    # final rollup: sum the per-partition partials (tiny)
+    partial_files = sorted(
+        globmod.glob(os.path.join(out_dir, "rollup_partials", "*.parquet"))
+    )
+    partials = pa.concat_tables([pq.read_table(f) for f in partial_files])
+    final = partials.group_by(AGG_KEYS).aggregate([("n", "sum")])
+    final = pa.table(
+        {**{k: final[k] for k in AGG_KEYS}, "n": final["n_sum"]}
+    ).sort_by([(k, "ascending") for k in AGG_KEYS])
+    rollup_dir = os.path.join(out_dir, "rollup")
+    os.makedirs(rollup_dir, exist_ok=True)
+    pq.write_table(final, os.path.join(rollup_dir, "agg_counts.parquet"))
+
+    # per-sink schema sidecars (ES-mapping analog)
+    routes = sorted(set(final["rule"].to_pylist()))
+    sample_sink = _first_sink_schema(out_dir)
+    if sample_sink is not None:
+        schema_dir = os.path.join(out_dir, "_schemas")
+        os.makedirs(schema_dir, exist_ok=True)
+        write_sink_schemas(schema_dir, sample_sink, routes)
+
+    rows_in_total = sum(m.rows_in for m in manifests)
+    rows_routed_total = sum(m.rows_routed for m in manifests)
+    RunManifest(
+        run_id=os.path.basename(out_dir.rstrip("/")) or uuid.uuid4().hex[:8],
+        registry_version=registry.version,
+        n_partitions=partitions,
+        completed=len(manifests),
+        rows_in=rows_in_total,
+        rows_routed=rows_routed_total,
+        config={"batch_size": batch_size, "files": len(files)},
+    ).write(out_dir)
+
+    return PipelineResult(
+        run_dir=out_dir,
+        rows_in=rows_in_total,
+        rows_routed=rows_routed_total,
+        counts=final,
+        partitions_run=ran,
+        partitions_skipped=len(manifests) - ran,
+        manifests=manifests,
+    )
+
+
+def _counts_to_table(counts_ds) -> pa.Table:
+    tbl = pa.Table.from_pylist(counts_ds.take_all())
+    if tbl.num_rows == 0:
+        return pa.table(
+            {
+                "rule": pa.array([], pa.string()),
+                "tool": pa.array([], pa.string()),
+                "role": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    return tbl.select(AGG_KEYS + ["n"]).cast(
+        pa.schema(
+            [
+                ("rule", pa.string()),
+                ("tool", pa.string()),
+                ("role", pa.string()),
+                ("n", pa.int64()),
+            ]
+        )
+    )
+
+
+def _first_sink_schema(out_dir: str):
+    for f in sorted(
+        globmod.glob(os.path.join(out_dir, "sinks", "partition=*", "route=*", "*.parquet"))
+    ):
+        return pq.read_schema(f)
+    return None

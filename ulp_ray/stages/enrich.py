@@ -1,0 +1,94 @@
+"""Enrich stage: broadcast-dictionary lookup on a stateful actor pool.
+
+The reference has no enrichment yet (``/root/reference/README.md:42``
+"Enrichment options: No"); per the north star this engine adds a role/tool
+taxonomy lookup: a small side table is built on the driver, shipped to the
+object store ONCE via ``ray.put``, and every actor in the pool pulls it once
+in ``__init__`` — a broadcast join of turns × taxonomy on ``(role, tool)``
+with no shuffle (SURVEY.md §2.4 J-graft).
+
+Usage::
+
+    ref = put_taxonomy()                    # driver, once
+    ds = ds.map_batches(Enricher,
+                        fn_constructor_kwargs={"taxonomy_ref": ref},
+                        batch_format="pyarrow", batch_size=8192,
+                        concurrency=(2, 8))
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["DEFAULT_TAXONOMY", "put_taxonomy", "Enricher", "enrich_batch"]
+
+# FIXTURES.md §2: role/tool taxonomy, full cross product, deterministic.
+_ROLE_CLASS = {"user": "human", "assistant": "model", "system": "infra", "tool": "infra"}
+_TOOL_CLASS = {
+    "": "none",
+    "bash": "exec",
+    "read": "retrieval",
+    "search": "retrieval",
+    "edit": "mutation",
+    "browser": "retrieval",
+}
+
+DEFAULT_TAXONOMY: dict[tuple[str, str], tuple[str, str]] = {
+    (role, tool): (rc, tc)
+    for role, rc in _ROLE_CLASS.items()
+    for tool, tc in _TOOL_CLASS.items()
+}
+
+
+def put_taxonomy(taxonomy: dict | None = None):
+    """``ray.put`` the taxonomy once on the driver; returns the object ref."""
+    import ray
+
+    return ray.put(taxonomy or DEFAULT_TAXONOMY)
+
+
+def enrich_batch(batch: pa.Table, taxonomy: dict) -> pa.Table:
+    """Vectorized (role, tool) → (role_class, tool_class) lookup.
+
+    Uses dictionary-encoding so the lookup runs once per DISTINCT
+    (role, tool) pair per batch, not per row; unknown pairs map to
+    ``"unknown"`` (never drop rows — the route/aggregate must still see
+    them)."""
+    role = batch["role"]
+    tool = batch["tool"]
+    key = pc.binary_join_element_wise(
+        pc.cast(role, pa.string()), pc.cast(tool, pa.string()), "\x00"
+    )
+    dict_arr = pc.dictionary_encode(key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key)
+    uniques = dict_arr.dictionary.to_pylist()
+    rc_vals = []
+    tc_vals = []
+    for u in uniques:
+        r, _, t = u.partition("\x00")
+        rc, tc = taxonomy.get((r, t), ("unknown", "unknown"))
+        rc_vals.append(rc)
+        tc_vals.append(tc)
+    indices = dict_arr.indices
+    role_class = pc.take(pa.array(rc_vals, type=pa.string()), indices)
+    tool_class = pc.take(pa.array(tc_vals, type=pa.string()), indices)
+    return batch.append_column("role_class", role_class).append_column(
+        "tool_class", tool_class
+    )
+
+
+class Enricher:
+    """Actor-pool stage: pulls the broadcast taxonomy once per actor."""
+
+    def __init__(self, taxonomy_ref=None, taxonomy: dict | None = None) -> None:
+        if taxonomy is not None:
+            self.taxonomy = taxonomy
+        elif taxonomy_ref is not None:
+            import ray
+
+            self.taxonomy = ray.get(taxonomy_ref)
+        else:
+            self.taxonomy = DEFAULT_TAXONOMY
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return enrich_batch(batch, self.taxonomy)
