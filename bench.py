@@ -1,0 +1,209 @@
+"""Benchmark harness.
+
+Headline: the flagship parse→enrich→route→aggregate pipeline over the
+synthetic transcript table sized to $GRAFT_SF_DIR's scale factor
+(sf0.1 → 1M turns), reported as wall seconds + turns/sec. Secondary:
+representative queries over the $GRAFT_SF_DIR testdata tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "turns": N, "turns_per_sec": N}
+
+--scaling: runs the headline twice in fresh processes at num_cpus=8 and
+32 on identical input and prints throughput at both + scaling efficiency
+(T32/T8)/4 (the sandbox evidence for the N→4N ≥0.8 criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+_SF_TURNS = {"sf0.001": 10_000, "sf0.01": 100_000, "sf0.1": 1_000_000}
+
+
+def _sf_name() -> str:
+    return os.path.basename(os.path.normpath(SF_DIR))
+
+
+def _ensure_transcripts(n_turns: int) -> str:
+    from ulp_ray.fixtures import transcripts_path, write_transcripts
+
+    path = transcripts_path(n_turns)
+    if not os.path.isdir(path) or not os.listdir(path):
+        # target ~150k rows (~7.5 MB after snappy) per file: enough files
+        # to parallelize a 32-cpu read, big enough that per-task overhead
+        # doesn't dominate (1 fused task per file)
+        n_files = max(32, min(512, n_turns // 150_000))
+        write_transcripts(path, n_turns, n_files=n_files)
+    return path
+
+
+def _warm_page_cache(path: str) -> None:
+    for root, _, files in os.walk(path):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+    from ulp_ray.pipelines.flagship import run_pipeline
+
+    n_turns = _SF_TURNS.get(_sf_name(), 100_000)
+    data = _ensure_transcripts(n_turns)
+    _warm_page_cache(data)
+
+    out = f"/tmp/ulp_ray_bench/{_sf_name()}_cpus{NUM_CPUS}"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.monotonic()
+    res = run_pipeline(data, out, partitions=4, resume=False)
+    headline = time.monotonic() - t0
+    assert res.rows_routed == n_turns, (res.rows_routed, n_turns)
+
+    queries = {}
+    qs = entrymod.queries()
+    for name in (
+        "parse_route_events",
+        "agg_rollup_events",
+        "exact_dedup_docs",
+        "q1_lineitem",
+        "windowed_counts_events",
+    ):
+        if name not in qs:
+            continue
+        t0 = time.monotonic()
+        r = qs[name](SF_DIR)
+        # consume: Datasets are lazy
+        if hasattr(r, "materialize"):
+            r.materialize()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    result = {
+        "metric": "flagship parse→enrich→route→aggregate wall sec (transcripts)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_name(),
+        "num_cpus": NUM_CPUS,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+SCALING_TURNS = int(os.environ.get("GRAFT_SCALING_TURNS", "10000000"))
+
+
+def run_scaling_leg() -> dict:
+    """One leg of the scaling experiment (fresh process): the streaming
+    parse→enrich→aggregate job (run_streaming_counts) at RAY_GRAFT_CPUS on
+    the cached SCALING_TURNS-turn table. A small untimed warm-up execution
+    spins up worker processes first so the timed run measures compute +
+    shuffle, not process spawn."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from ulp_ray.pipelines.flagship import run_streaming_counts
+
+    data = _ensure_transcripts(SCALING_TURNS)
+    _warm_page_cache(data)
+    run_streaming_counts(data)  # untimed full run: spawns every worker,
+    # compiles registries, touches all input — the timed runs then measure
+    # steady-state compute + shuffle only
+    times = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        counts = run_streaming_counts(data)
+        times.append(time.monotonic() - t0)
+        n = sum(counts["n"].to_pylist())
+        assert n == SCALING_TURNS, (n, SCALING_TURNS)
+    dt = sorted(times)[1]  # median of 3 (straggler waves are noisy)
+    ray.shutdown()
+    return {
+        "num_cpus": NUM_CPUS,
+        "sec": round(dt, 3),
+        "all_secs": [round(t, 3) for t in times],
+        "turns": SCALING_TURNS,
+        "turns_per_sec": round(SCALING_TURNS / dt, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Fresh process per parallelism level, identical input (the sandbox
+    evidence for the N→4N-nodes ≥0.8 criterion)."""
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-leg"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = (
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+    )
+    r_lo, r_hi = one(lo), one(hi)
+    tp_lo = r_lo["turns_per_sec"]
+    tp_hi = r_hi["turns_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (streaming parse→enrich→aggregate "
+        "turns/sec, num_cpus 8 → 32)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "turns": SCALING_TURNS,
+        "sec_8": r_lo["sec"],
+        "sec_32": r_hi["sec"],
+        "turns_per_sec_8": tp_lo,
+        "turns_per_sec_32": tp_hi,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling-leg" in sys.argv:
+        print(json.dumps(run_scaling_leg()))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,121 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+cosine near-dup — on small synthetic corpora with planted duplicates."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ulp_ray.stages.dedup import (
+    embedding_neardup,
+    embedding_neardup_lsh,
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash_candidates,
+    simhash_signatures,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the stream engine "
+    "shuffles arrow record batches across the cluster object store"
+)
+
+
+def _docs():
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("quick", "speedy")),  # near dup of 0
+        (3, "completely different text about cooking pasta with tomatoes"),
+        (4, "another unrelated document mentioning databases and indexes"),
+        (5, BASE),  # exact dup of 0
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_arrow(_docs())
+
+
+def test_exact_dedup_keeps_min_id(docs_ds):
+    out = exact_dedup(docs_ds, on="text", order_col="doc_id").take_all()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [0, 2, 3, 4]  # 1 and 5 collapse into 0
+
+
+def test_ngram_jaccard_bounds():
+    assert ngram_jaccard(BASE, BASE) == 1.0
+    assert ngram_jaccard(BASE, "zzzz") < 0.05
+    near = ngram_jaccard(BASE, BASE.replace("quick", "speedy"))
+    assert 0.5 < near < 1.0
+
+
+def test_minhash_signature_shape(docs_ds):
+    sigs = minhash_signatures(docs_ds, num_perm=64).take_all()
+    assert len(sigs) == 6
+    assert len(sigs[0]["minhash"]) == 64
+    by_id = {s["doc_id"]: list(s["minhash"]) for s in sigs}
+    assert by_id[0] == by_id[1] == by_id[5]  # identical docs → identical sigs
+    assert by_id[0] != by_id[3]
+
+
+def test_minhash_dedup_finds_planted_pairs(docs_ds):
+    out = minhash_dedup(docs_ds, num_perm=64, bands=16, threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.to_pylist()}
+    assert (0, 1) in pairs and (0, 5) in pairs and (1, 5) in pairs
+    assert (0, 2) in pairs  # near dup above 0.5 jaccard
+    assert all(a != 3 and b != 3 for a, b in pairs)
+
+
+def test_simhash_candidates(docs_ds):
+    sigs = simhash_signatures(docs_ds)
+    by_id = {s["doc_id"]: s["simhash"] for s in sigs.take_all()}
+    assert by_id[0] == by_id[1] == by_id[5]
+    cand = simhash_candidates(simhash_signatures(docs_ds), max_hamming=3).take_all()
+    pairs = {(r["id_a"], r["id_b"]) for r in cand}
+    assert (0, 1) in pairs and (0, 5) in pairs
+    assert all(r["hamming"] <= 3 for r in cand)
+
+
+@pytest.fixture(scope="module")
+def embed_ds(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((8, 16)).astype(np.float32)
+    # vec 1 = vec 0 + tiny noise (near dup); vec 7 = exact copy of vec 2
+    base[1] = base[0] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    base[7] = base[2]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(8), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(base.reshape(-1), pa.float32()), 16
+            ),
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
+def test_embedding_neardup_exact(embed_ds):
+    out = embedding_neardup(embed_ds, threshold=0.99)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.to_pylist()}
+    assert (0, 1) in pairs and (2, 7) in pairs
+    assert len(pairs) == 2
+
+
+def test_embedding_neardup_lsh_finds_exact_copy(embed_ds):
+    out = embedding_neardup_lsh(embed_ds, threshold=0.99, n_planes=6).take_all()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    # exact copies share every sign bit → always same bucket
+    assert (2, 7) in pairs

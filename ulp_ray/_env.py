@@ -23,8 +23,16 @@ def package_root() -> str:
 
 def remote_env() -> dict:
     """kwargs to splat into ``map_batches``/``ray.remote`` so workers can
-    import ``ulp_ray`` regardless of the driver's cwd."""
+    import ``ulp_ray`` regardless of the driver's cwd.
+
+    Returns ``{}`` when workers will already resolve the package — driver
+    cwd == package root (workers inherit cwd) or PYTHONPATH already carries
+    it — because a per-stage ``runtime_env`` forces Ray to start dedicated
+    worker processes per stage instead of reusing the default pool, a
+    measurable fixed cost per execution."""
     root = package_root()
     existing = os.environ.get("PYTHONPATH", "")
+    if os.path.abspath(os.getcwd()) == root or root in existing.split(":"):
+        return {}
     pp = f"{root}:{existing}" if existing else root
     return {"runtime_env": {"env_vars": {"PYTHONPATH": pp}}}

@@ -1,0 +1,161 @@
+"""Text-analysis scalar/vector functions: language-ID, quality scoring,
+token counting, document fingerprinting.
+
+All deterministic, dependency-free, and built to run inside ``map_batches``
+over Arrow string columns (the vectorized entry points take/return Arrow
+arrays; scalar forms exist for tests)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "whitespace_token_count",
+    "bpe_ish_token_count",
+    "lang_id",
+    "lang_id_batch",
+    "quality_features",
+    "fingerprint64",
+    "fingerprint_batch",
+]
+
+# a GPT-2-style pre-tokenizer regex (public pattern family): contractions,
+# letter runs, digit runs, punctuation runs, whitespace
+_BPE_RE = re.compile(
+    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+)
+
+# tiny per-language stopword profiles (public common words)
+_LANG_STOPWORDS: dict[str, frozenset] = {
+    "en": frozenset("the of and to in is that it was for on are with as be at".split()),
+    "de": frozenset("der die das und ist nicht ein eine zu mit von auf für den".split()),
+    "es": frozenset("el la los las de que y en un una es por con para no se".split()),
+    "fr": frozenset("le la les de des et un une est que pour dans qui sur pas".split()),
+}
+
+
+def whitespace_token_count(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized: tokens = #spaces + 1 (matches the SQL-oracle formula)."""
+    n_space = pc.subtract(
+        pc.utf8_length(arr), pc.utf8_length(pc.replace_substring(arr, " ", ""))
+    )
+    return pc.cast(pc.add(n_space, 1), pa.int64())
+
+
+def bpe_ish_token_count(text: str) -> int:
+    """Pre-tokenizer token count with a GPT-2-style regex — a cheap proxy
+    for BPE token counts (no vocab)."""
+    return len(_BPE_RE.findall(text or ""))
+
+
+def lang_id(text: str) -> str:
+    """n-gram/stopword heuristic language ID over {en,de,es,fr,zh}.
+
+    CJK codepoint ratio decides ``zh``; otherwise the language whose
+    stopword profile matches the most tokens wins (ties → 'en', then
+    lexicographic). Returns ``und`` for empty input."""
+    if not text:
+        return "und"
+    cjk = sum(1 for ch in text if "一" <= ch <= "鿿")
+    if cjk / max(1, len(text)) > 0.05:
+        return "zh"
+    toks = [t for t in re.split(r"\W+", text.lower()) if t]
+    if not toks:
+        return "und"
+    scores = {
+        lang: sum(1 for t in toks if t in words)
+        for lang, words in _LANG_STOPWORDS.items()
+    }
+    best = max(scores.values())
+    if best == 0:
+        return "und"
+    winners = sorted(l for l, s in scores.items() if s == best)
+    return "en" if "en" in winners else winners[0]
+
+
+def lang_id_batch(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    return pa.array([lang_id(t) for t in arr.to_pylist()], pa.string())
+
+
+def quality_features(batch_text: pa.Array | pa.ChunkedArray) -> pa.Table:
+    """Vectorized quality features per document:
+
+    - ``n_chars``, ``n_tokens`` (whitespace)
+    - ``punct_ratio`` (non-alnum-non-space chars / chars)
+    - ``stopword_ratio`` (english stopword tokens / tokens)
+    - ``mean_token_len``
+    - ``quality_score`` — a deterministic 0-1 composite (length-capped,
+      penalizes extreme punctuation and stopword-free word salad)
+    """
+    arr = (
+        batch_text.combine_chunks()
+        if isinstance(batch_text, pa.ChunkedArray)
+        else batch_text
+    )
+    n_chars = pc.cast(pc.utf8_length(arr), pa.int64())
+    n_tokens = whitespace_token_count(arr)
+    punct = pc.subtract(
+        pc.utf8_length(arr),
+        pc.utf8_length(pc.replace_substring_regex(arr, r"[^\w\s]", "")),
+    )
+    punct_ratio = pc.divide(
+        pc.cast(punct, pa.float64()),
+        pc.cast(pc.max_element_wise(n_chars, 1), pa.float64()),
+    )
+    # stopword ratio needs tokenization — python pass (documents are the
+    # cold column here; the hot transcript path never calls this)
+    stop = _LANG_STOPWORDS["en"]
+    sw = []
+    mean_len = []
+    for t in arr.to_pylist():
+        toks = (t or "").lower().split()
+        if not toks:
+            sw.append(0.0)
+            mean_len.append(0.0)
+            continue
+        sw.append(sum(1 for x in toks if x in stop) / len(toks))
+        mean_len.append(sum(len(x) for x in toks) / len(toks))
+    sw_arr = pa.array(sw, pa.float64())
+    ml_arr = pa.array(mean_len, pa.float64())
+    length_score = pc.min_element_wise(
+        pc.divide(pc.cast(n_tokens, pa.float64()), 64.0), 1.0
+    )
+    score = pc.multiply(
+        length_score,
+        pc.multiply(
+            pc.subtract(1.0, pc.min_element_wise(punct_ratio, 1.0)),
+            pc.add(0.5, pc.min_element_wise(sw_arr, 0.5)),
+        ),
+    )
+    return pa.table(
+        {
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "punct_ratio": pc.round(punct_ratio, ndigits=6),
+            "stopword_ratio": pc.round(sw_arr, ndigits=6),
+            "mean_token_len": pc.round(ml_arr, ndigits=6),
+            "quality_score": pc.round(score, ndigits=6),
+        }
+    )
+
+
+def fingerprint64(text: str) -> int:
+    """Deterministic 64-bit document fingerprint: blake2b-8 over the
+    whitespace-normalized, lowercased text (stable across processes —
+    unlike ``hash()``)."""
+    norm = " ".join((text or "").lower().split())
+    return int.from_bytes(
+        hashlib.blake2b(norm.encode(), digest_size=8).digest(), "big"
+    )
+
+
+def fingerprint_batch(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    return pa.array(
+        np.array([fingerprint64(t) for t in arr.to_pylist()], dtype=np.uint64),
+        pa.uint64(),
+    )

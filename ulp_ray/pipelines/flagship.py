@@ -6,7 +6,10 @@ orchestrator/worker-thread design (``/root/reference/src/workerpool.rs``):
 
     read_parquet(fragments)                        # pruned, many blocks
       → map_batches(parse_fn, pyarrow, zero-copy)  # rule registry
-      → map_batches(Enricher, actor pool)          # broadcast taxonomy
+      → map_batches(enrich)                        # broadcast taxonomy;
+        # default = stateless tasks w/ per-worker broadcast cache (fuses
+        # with parse, elastic); ``enrich_compute="actors"`` selects the
+        # Enricher actor pool (for heavy per-actor state)
       → write_parquet(sinks/partition=i, partition_cols=["route"])
     counts  = read_parquet(sinks/partition=i, columns=[rule,tool,role])
               |> per-batch partial counts |> groupby.Sum    # tiny shuffle
@@ -45,7 +48,7 @@ import pyarrow.parquet as pq
 from .._env import remote_env
 from ..rules import RuleRegistry, default_transcript_registry
 from ..stages.aggregate import count_rollup
-from ..stages.enrich import Enricher, put_taxonomy
+from ..stages.enrich import Enricher, make_enrich_fn, put_taxonomy
 from ..stages.parse import make_parse_fn
 from ..stages.route import write_sink_schemas
 from ..state.manifest import (
@@ -55,7 +58,7 @@ from ..state.manifest import (
     load_completed,
 )
 
-__all__ = ["PipelineResult", "run_pipeline"]
+__all__ = ["PipelineResult", "run_pipeline", "run_streaming_counts"]
 
 AGG_KEYS = ["rule", "tool", "role"]
 
@@ -105,7 +108,8 @@ def run_pipeline(
     taxonomy: dict | None = None,
     partitions: int = 8,
     resume: bool = True,
-    batch_size: int = 8192,
+    batch_size: int | None = None,
+    enrich_compute: str = "tasks",
     enrich_concurrency: tuple[int, int] | int | None = None,
 ) -> PipelineResult:
     """Run (or resume) the flagship pipeline over Parquet transcript files.
@@ -136,6 +140,7 @@ def run_pipeline(
     parse_fn = make_parse_fn(registry)
     cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
     if enrich_concurrency is None:
+        # at most half the cluster: a wider pool starves the read stage
         enrich_concurrency = (1, max(2, cluster_cpus // 2))
 
     manifests: list[PartitionManifest] = []
@@ -152,7 +157,10 @@ def run_pipeline(
         if os.path.isdir(sink_dir):
             shutil.rmtree(sink_dir)  # deterministic overwrite on retry
 
-        ds = ray.data.read_parquet(group)
+        # 1 block per input file: keeps read→parse→enrich fused into a
+        # single task per file (no intermediate plasma hop); file sizing is
+        # the fixture/ingest side's job (~64k-512k rows per file)
+        ds = ray.data.read_parquet(group, override_num_blocks=len(group))
         ds = ds.map_batches(
             parse_fn,
             batch_format="pyarrow",
@@ -160,14 +168,22 @@ def run_pipeline(
             zero_copy_batch=True,
             **remote_env(),
         )
-        ds = ds.map_batches(
-            Enricher,
-            fn_constructor_kwargs={"taxonomy_ref": taxonomy_ref},
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=enrich_concurrency,
-            **remote_env(),
-        )
+        if enrich_compute == "actors":
+            ds = ds.map_batches(
+                Enricher,
+                fn_constructor_kwargs={"taxonomy_ref": taxonomy_ref},
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=enrich_concurrency,
+                **remote_env(),
+            )
+        else:  # stateless tasks + per-worker broadcast cache (default)
+            ds = ds.map_batches(
+                make_enrich_fn(taxonomy_ref),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                **remote_env(),
+            )
         from ray.data._internal.savemode import SaveMode
 
         ds.write_parquet(
@@ -245,6 +261,59 @@ def run_pipeline(
         partitions_skipped=len(manifests) - ran,
         manifests=manifests,
     )
+
+
+def run_streaming_counts(
+    inputs: str | list[str],
+    registry: RuleRegistry | None = None,
+    taxonomy: dict | None = None,
+    batch_size: int | None = None,
+    enrich_compute: str = "tasks",
+    enrich_concurrency: tuple[int, int] | int | None = None,
+) -> pa.Table:
+    """Single-pass streaming job: read → parse → enrich → (rule, tool,
+    role) count rollup. No sinks, no checkpoint loop — the pure
+    parse-throughput path used by ``bench.py --scaling`` (the north rule's
+    scaling criterion is *parse* throughput; the Parquet sink write is
+    storage-bandwidth-bound on a single box and is exercised by the
+    checkpointed ``run_pipeline`` instead)."""
+    import ray
+
+    from ..stages.aggregate import count_rollup
+
+    registry = registry or default_transcript_registry()
+    files = _expand_inputs(inputs)
+    taxonomy_ref = put_taxonomy(taxonomy)
+    cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
+    if enrich_concurrency is None:
+        enrich_concurrency = (2, max(2, cluster_cpus // 2))
+
+    ds = ray.data.read_parquet(files, override_num_blocks=len(files))
+    ds = ds.map_batches(
+        make_parse_fn(registry),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        **remote_env(),
+    )
+    if enrich_compute == "actors":
+        ds = ds.map_batches(
+            Enricher,
+            fn_constructor_kwargs={"taxonomy_ref": taxonomy_ref},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=enrich_concurrency,
+            **remote_env(),
+        )
+    else:
+        ds = ds.map_batches(
+            make_enrich_fn(taxonomy_ref),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            **remote_env(),
+        )
+    counts = count_rollup(ds, AGG_KEYS)
+    return _counts_to_table(counts)
 
 
 def _counts_to_table(counts_ds) -> pa.Table:

@@ -46,18 +46,44 @@ def partial_counts_fn(keys: Sequence[str]):
     return partial
 
 
-def count_rollup(ds, keys: Sequence[str]):
-    """Two-phase distributed count rollup: per-batch partials → shuffle of
-    partials only → final Sum. Returns a Dataset with ``keys + [n]``."""
+def count_rollup(ds, keys: Sequence[str], driver_fold_max_rows: int = 2_000_000):
+    """Two-phase distributed count rollup. Returns a Dataset with
+    ``keys + [n]``.
+
+    Phase 1 collapses every block to one row per key inside ``map_batches``
+    (the combiner — so skew in the raw rows never reaches a shuffle) and
+    materializes the partials (tiny: O(keys × blocks)). Phase 2 folds:
+
+    - partials ≤ ``driver_fold_max_rows``: a single pyarrow ``group_by``
+      on the driver — measured ~2× faster end-to-end than chaining Ray's
+      all-to-all Aggregate into the streaming pipeline, which stalls the
+      map stage (see BASELINE.md);
+    - larger (huge key spaces at 100 TB: ~#blocks × #keys rows): the
+      distributed ``groupby().aggregate(Sum)`` over the already-combined
+      partials.
+    """
+    import ray
     from ray.data.aggregate import Sum
 
     from .._env import remote_env
 
+    key_list = list(keys)
     partials = ds.map_batches(
-        partial_counts_fn(keys), batch_format="pyarrow", batch_size=None, **remote_env()
-    )
-    out = partials.groupby(list(keys)).aggregate(Sum("n", alias_name="n"))
-    return out
+        partial_counts_fn(key_list),
+        batch_format="pyarrow",
+        batch_size=None,
+        **remote_env(),
+    ).materialize()
+    if partials.count() > driver_fold_max_rows:
+        return partials.groupby(key_list).aggregate(Sum("n", alias_name="n"))
+    batches = [b for b in partials.iter_batches(batch_format="pyarrow", batch_size=None)]
+    if not batches:
+        return partials
+    tbl = pa.concat_tables(batches)
+    g = tbl.group_by(key_list).aggregate([("n", "sum")])
+    cols = {k: g[k] for k in key_list}
+    cols["n"] = g["n_sum"]
+    return ray.data.from_arrow(pa.table(cols))
 
 
 def schema_rollup_partials(ds, route_col: str = "route", sample_per_batch: int = 64):

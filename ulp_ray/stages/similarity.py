@@ -1,0 +1,214 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`ann_topk` — brute-force cosine top-k baseline: the (small) query
+  matrix is broadcast via ``ray.put``; every batch computes one numpy
+  matmul against it and emits its local top-k per query; the driver merges
+  the tiny per-batch partials. The corpus streams — nothing but
+  (query_id, vec_id, score) candidate rows leave the workers.
+- :func:`ann_topk_ivf` — the scale path: a coarse IVF built from a sampled
+  k-means-lite codebook (broadcast); corpus vectors are assigned to their
+  nearest centroid at index time (groupby bucket) and queries probe only
+  the ``n_probe`` nearest lists.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .._env import remote_env
+
+__all__ = ["ann_topk", "ann_topk_ivf", "build_ivf_codebook"]
+
+
+def _batch_vectors(batch: pa.Table, vec_col: str) -> np.ndarray:
+    flat = np.asarray(batch[vec_col].combine_chunks().flatten(), dtype=np.float32)
+    return flat.reshape(len(batch), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def ann_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Exact cosine top-k: returns ``(query_id, rank, vec_id, score)``,
+    rank 0 = best; deterministic tie-break by vec_id ascending."""
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q_ref = ray.put(q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        v = _normalize(_batch_vectors(batch, vec_col))
+        sims = qm @ v.T  # (n_queries, batch)
+        kk = min(k, sims.shape[1])
+        # argpartition then exact sort of the head — O(batch) per query
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = {"query_id": [], id_col: [], "score": []}
+        for qi in range(sims.shape[0]):
+            idx = part[qi]
+            order = np.lexsort((ids[idx], -sims[qi, idx]))
+            sel = idx[order]
+            rows["query_id"].extend([qi] * len(sel))
+            rows[id_col].extend(ids[sel].tolist())
+            rows["score"].extend(np.round(sims[qi, sel].astype(np.float64), 6).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], pa.int64()),
+                id_col: pa.array(rows[id_col], pa.int64()),
+                "score": pa.array(rows["score"], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow", **remote_env()).take_all()
+
+    # driver-side merge of per-batch top-k partials (tiny)
+    best: dict[int, list] = {}
+    for row in partials:
+        # heap on (score, -vec_id) so ties prefer smaller vec_id
+        heapq.heappush(
+            best.setdefault(row["query_id"], []),
+            (row["score"], -row[id_col]),
+        )
+        if len(best[row["query_id"]]) > k:
+            heapq.heappop(best[row["query_id"]])
+    out = {"query_id": [], "rank": [], id_col: [], "score": []}
+    for qi in sorted(best):
+        ranked = sorted(best[qi], key=lambda t: (-t[0], -t[1]))
+        for r, (score, neg_id) in enumerate(ranked):
+            out["query_id"].append(qi)
+            out["rank"].append(r)
+            out[id_col].append(-neg_id)
+            out["score"].append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            id_col: pa.array(out[id_col], pa.int64()),
+            "score": pa.array(out["score"], pa.float64()),
+        }
+    )
+
+
+def build_ivf_codebook(
+    ds,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    iters: int = 8,
+    seed: int = 5,
+) -> np.ndarray:
+    """k-means-lite codebook from a driver-side sample (normalized)."""
+    sample = ds.limit(sample_rows).take_all()
+    v = _normalize(
+        np.array([r[vec_col] for r in sample], dtype=np.float32)
+    )
+    rng = np.random.default_rng(seed)
+    cent = v[rng.choice(len(v), min(n_lists, len(v)), replace=False)]
+    for _ in range(iters):
+        assign = (v @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = v[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ann_topk_ivf(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """IVF-style approximate top-k: assign corpus vectors to their nearest
+    codebook centroid per batch (broadcast codebook), search only the
+    ``n_probe`` closest lists per query inside a ``groupby("list_id")``,
+    and merge per-list candidates on the driver. Approximate: recall
+    depends on n_probe/n_lists (documented partitioning assumption:
+    vectors near list boundaries may be missed)."""
+    import ray
+
+    cent = build_ivf_codebook(ds, n_lists=n_lists, vec_col=vec_col)
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    cent_ref = ray.put(cent)
+    # list_id -> [query ids probing it]
+    probe_map: dict[int, list[int]] = {}
+    for qi, ls in enumerate(probes):
+        for l in ls:
+            probe_map.setdefault(int(l), []).append(qi)
+    q_ref = ray.put((q, probe_map))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        v = _normalize(_batch_vectors(batch, vec_col))
+        lid = (v @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {id_col: batch[id_col], "list_id": pa.array(lid), vec_col: batch[vec_col]}
+        )
+
+    def search_list(g: pd.DataFrame) -> pd.DataFrame:
+        qm, pm = ray.get(q_ref)
+        lid = int(g["list_id"].iloc[0])
+        qids = pm.get(lid, [])
+        if not qids:
+            return pd.DataFrame({"query_id": [], id_col: [], "score": []})
+        ids = g[id_col].to_numpy()
+        v = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float32))
+        sims = qm[qids] @ v.T
+        out = {"query_id": [], id_col: [], "score": []}
+        kk = min(k, sims.shape[1])
+        for row, qi in enumerate(qids):
+            idx = np.argpartition(-sims[row], kk - 1)[:kk]
+            out["query_id"].extend([qi] * len(idx))
+            out[id_col].extend(ids[idx].tolist())
+            out["score"].extend(np.round(sims[row, idx].astype(np.float64), 6).tolist())
+        return pd.DataFrame(out)
+
+    partials = (
+        ds.map_batches(assign, batch_format="pyarrow", **remote_env())
+        .groupby("list_id")
+        .map_groups(search_list, batch_format="pandas", **remote_env())
+        .take_all()
+    )
+    best: dict[int, list] = {}
+    for row in partials:
+        heapq.heappush(
+            best.setdefault(int(row["query_id"]), []),
+            (row["score"], -int(row[id_col])),
+        )
+        if len(best[int(row["query_id"])]) > k:
+            heapq.heappop(best[int(row["query_id"])])
+    out = {"query_id": [], "rank": [], id_col: [], "score": []}
+    for qi in sorted(best):
+        ranked = sorted(best[qi], key=lambda t: (-t[0], -t[1]))
+        for r, (score, neg_id) in enumerate(ranked):
+            out["query_id"].append(qi)
+            out["rank"].append(r)
+            out[id_col].append(-neg_id)
+            out["score"].append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            id_col: pa.array(out[id_col], pa.int64()),
+            "score": pa.array(out["score"], pa.float64()),
+        }
+    )
