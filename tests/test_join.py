@@ -1,0 +1,76 @@
+"""Join strategies: broadcast, native hash-partitioned, explicit bucketed
+— all three must produce identical results."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ulp_ray.stages.join import broadcast_join, bucketed_hash_join
+
+
+@pytest.fixture(scope="module")
+def sides(ray_session):
+    import ray.data
+
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(range(100), pa.int64()),
+            "o_custkey": pa.array([i % 7 for i in range(100)], pa.int64()),
+            "o_total": pa.array([float(i) * 1.5 for i in range(100)]),
+        }
+    )
+    cust = pa.table(
+        {
+            "o_custkey": pa.array(range(7), pa.int64()),
+            "c_name": pa.array([f"cust-{i}" for i in range(7)]),
+        }
+    )
+    return ray.data.from_arrow(orders).repartition(4), cust
+
+
+def _expected(sides):
+    orders_ds, cust = sides
+    odf = pd.DataFrame({"o_orderkey": range(100), "o_custkey": [i % 7 for i in range(100)], "o_total": [float(i) * 1.5 for i in range(100)]})
+    return odf.merge(cust.to_pandas(), on="o_custkey", how="inner").sort_values(
+        "o_orderkey"
+    ).reset_index(drop=True)
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    return df[["o_orderkey", "o_custkey", "o_total", "c_name"]].sort_values(
+        "o_orderkey"
+    ).reset_index(drop=True)
+
+
+def test_broadcast_join(sides):
+    orders_ds, cust = sides
+    out = broadcast_join(orders_ds, cust, on="o_custkey").to_pandas()
+    pd.testing.assert_frame_equal(_norm(out), _expected(sides))
+
+
+def test_bucketed_hash_join(sides, ray_session):
+    import ray.data
+
+    orders_ds, cust = sides
+    cust_ds = ray.data.from_arrow(cust)
+    out = bucketed_hash_join(orders_ds, cust_ds, on="o_custkey", buckets=8).to_pandas()
+    pd.testing.assert_frame_equal(_norm(out), _expected(sides))
+
+
+def test_native_dataset_join(sides, ray_session):
+    import ray.data
+
+    orders_ds, cust = sides
+    cust_ds = ray.data.from_arrow(cust)
+    out = orders_ds.join(
+        cust_ds, join_type="inner", num_partitions=4, on=("o_custkey",)
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(out), _expected(sides))
+
+
+def test_bucketed_join_rejects_column_overlap(sides, ray_session):
+    import ray.data
+
+    orders_ds, _ = sides
+    with pytest.raises(ValueError, match="overlapping"):
+        bucketed_hash_join(orders_ds, orders_ds, on="o_custkey")

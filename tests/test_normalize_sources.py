@@ -1,0 +1,102 @@
+"""Normalize-to-schema stage, NDJSON round-trip, schema rollup aggregate."""
+
+import pyarrow as pa
+import pytest
+
+from ulp_ray.functions.casts import SemType as T
+from ulp_ray.stages.normalize import cast_column, normalize_to_schema
+
+
+def test_cast_column_int_to_float_saturates():
+    col = pa.array([5, 2**31, -(2**31) - 5], pa.int64())
+    out = cast_column(col, pa.float64())
+    assert out.to_pylist() == [5.0, float(2**31 - 1), float(-(2**31))]
+
+
+def test_cast_column_float_to_int_half_away():
+    col = pa.array([0.5, 1.5, 2.5, -0.5, -2.5, 2.4])
+    out = cast_column(col, pa.int64())
+    assert out.to_pylist() == [1, 2, 3, -1, -3, 2]
+
+
+def test_cast_column_bool_str_round_trip():
+    assert cast_column(pa.array([True, False]), pa.string()).to_pylist() == [
+        "true",
+        "false",
+    ]
+    assert cast_column(pa.array(["true", "FALSE", "1", "0", "x"]), pa.bool_()).to_pylist() == [
+        True,
+        False,
+        True,
+        False,
+        None,
+    ]
+
+
+def test_normalize_to_schema(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table({"a": pa.array([1, 2], pa.int64()), "b": pa.array(["1.5", "x"])})
+    )
+    target = pa.schema([("a", pa.float64()), ("b", pa.string()), ("c", pa.int64())])
+    out = normalize_to_schema(ds, target).take_all()
+    assert out == [
+        {"a": 1.0, "b": "1.5", "c": None},
+        {"a": 2.0, "b": "x", "c": None},
+    ]
+
+
+def test_normalize_strict_errors_on_unknown(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({"a": [1], "zz": [2]}))
+    target = pa.schema([("a", pa.int64())])
+    with pytest.raises(Exception):
+        normalize_to_schema(ds, target, strict=True).take_all()
+
+
+def test_ndjson_round_trip(ray_session, tmp_path):
+    import ray.data
+
+    from ulp_ray.sources import read_ndjson, write_ndjson
+
+    t = pa.table({"x": [1, 2, 3], "s": ["a", "b", "c"]})
+    out = str(tmp_path / "nd")
+    write_ndjson(ray.data.from_arrow(t), out)
+    back = read_ndjson(out).take_all()
+    assert sorted(r["x"] for r in back) == [1, 2, 3]
+
+
+def test_read_transcripts_prunes(ray_session, tmp_path):
+    from ulp_ray.fixtures import write_transcripts
+    from ulp_ray.sources import read_transcripts
+
+    d = str(tmp_path / "t")
+    write_transcripts(d, 500, n_files=2)
+    ds = read_transcripts(d, columns=["conv_id", "text"])
+    assert set(ds.schema().names) == {"conv_id", "text"}
+    assert ds.count() == 500
+
+
+def test_schema_rollup_partials(ray_session):
+    import ray.data
+
+    from ulp_ray.functions.casts import SemType
+    from ulp_ray.functions.schema_merge import ObjectNode
+    from ulp_ray.stages.aggregate import schema_rollup_partials
+
+    t = pa.table(
+        {
+            "route": ["a", "a", "b"],
+            "v": [1, 2, 3],
+            "s": ["x", "2.5", "hello world"],
+        }
+    )
+    merged = schema_rollup_partials(ray.data.from_arrow(t).repartition(2))
+    assert set(merged) == {"a", "b"}
+    node_a = merged["a"]
+    assert isinstance(node_a, ObjectNode)
+    assert node_a["v"] is SemType.INT
+    # 'x'/'2.5' sniff to STR/FLOAT -> widened to STR across rows
+    assert node_a["s"] in (SemType.STR,)

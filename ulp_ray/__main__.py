@@ -1,0 +1,100 @@
+"""CLI entry points — the replacement for the reference's HTTP API
+(``/root/reference/src/api.rs``: ``POST /job <glob>`` → parse phase,
+``POST /elastic <uuid>`` → resumable ingest phase). Here both phases are
+one resumable command, suitable for ``ray job submit``:
+
+    python -m ulp_ray run    --input '<dir-or-glob>' --out /path/run1
+    python -m ulp_ray resume --out /path/run1 --input '<dir-or-glob>'
+    python -m ulp_ray counts --out /path/run1        # print the rollup
+
+``resume`` is ``run`` with the checkpoint scan enabled by default —
+completed partitions (per ``_manifest/partition=<i>.json``) are skipped;
+a changed rule registry invalidates old checkpoints automatically.
+
+This module OWNS its Ray session (guarded init) — library code never
+calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"num_cpus": num_cpus} if num_cpus else {}
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            logging_level="ERROR",
+            **kwargs,
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ulp_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_common(sp):
+        sp.add_argument("--input", required=True, help="parquet dir or glob")
+        sp.add_argument("--out", required=True, help="run output directory")
+        sp.add_argument("--partitions", type=int, default=8)
+        sp.add_argument("--num-cpus", type=int, default=None)
+        sp.add_argument(
+            "--enrich-compute", choices=["tasks", "actors"], default="tasks"
+        )
+
+    add_common(sub.add_parser("run", help="run the flagship pipeline (fresh)"))
+    add_common(sub.add_parser("resume", help="resume, skipping completed partitions"))
+    sp = sub.add_parser("counts", help="print the rollup of a finished run")
+    sp.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "counts":
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f"{args.out}/rollup/agg_counts.parquet")
+        try:
+            for row in tbl.to_pylist():
+                print(json.dumps(row))
+        except BrokenPipeError:  # e.g. piped into head
+            pass
+        return 0
+
+    _init_ray(args.num_cpus)
+    from ulp_ray.pipelines.flagship import run_pipeline
+
+    res = run_pipeline(
+        args.input,
+        args.out,
+        partitions=args.partitions,
+        resume=(args.cmd == "resume"),
+        enrich_compute=args.enrich_compute,
+    )
+    print(
+        json.dumps(
+            {
+                "run_dir": res.run_dir,
+                "rows_in": res.rows_in,
+                "rows_routed": res.rows_routed,
+                "partitions_run": res.partitions_run,
+                "partitions_skipped": res.partitions_skipped,
+            }
+        )
+    )
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

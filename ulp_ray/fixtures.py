@@ -56,10 +56,34 @@ class GoldenCounts:
         return out
 
 
+_SALAD_POOL = 4096
+
+
+def _join_words(rng: np.random.Generator, n: int, lo: int, hi: int) -> np.ndarray:
+    """Variable-length word salads at scale: build a pool of
+    ``_SALAD_POOL`` distinct pre-joined sentences (cheap python loop),
+    then sample rows by index (vectorized). Diversity is bounded by the
+    pool size — fine for parse/route benchmarks where salads only need to
+    NOT match any rule."""
+    pool = np.array(
+        [
+            " ".join(rng.choice(_WORDS, rng.integers(lo, hi + 1)))
+            for _ in range(min(_SALAD_POOL, max(n, 1)))
+        ],
+        dtype=object,
+    )
+    return pool[rng.integers(0, len(pool), n)]
+
+
 def _make_texts(rule_idx: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """Vectorized-ish text synthesis: one pass per template over its rows."""
+    """Vectorized text synthesis (np.char kernels): one pass per template.
+
+    NB: the RNG draw ORDER per template is part of the deterministic
+    contract for a given fixtures version; goldens come from the same
+    generator, so internal changes stay self-consistent."""
     n = len(rule_idx)
     texts = np.empty(n, dtype=object)
+    A = np.char.add
 
     idx = np.flatnonzero(rule_idx == 0)  # tool_call
     if idx.size:
@@ -67,21 +91,27 @@ def _make_texts(rule_idx: np.ndarray, rng: np.random.Generator) -> np.ndarray:
         depth = rng.integers(1, 4, idx.size)
         fname = rng.integers(0, 10_000, idx.size)
         timeout = rng.integers(1, 600, idx.size)
-        texts[idx] = [
-            f"Calling tool {t} with args path=/srv/{'d/' * d}f{f}.txt timeout={to}"
-            for t, d, f, to in zip(tools, depth, fname, timeout)
-        ]
+        dirs = np.array(["", "d/", "d/d/", "d/d/d/"])[depth]
+        texts[idx] = A(
+            A(
+                A(A(A("Calling tool ", tools), " with args path=/srv/"), dirs),
+                A(A("f", fname.astype("U")), ".txt timeout="),
+            ),
+            timeout.astype("U"),
+        ).astype(object)
     idx = np.flatnonzero(rule_idx == 1)  # error_line
     if idx.size:
         comp = rng.choice(_COMPONENTS, idx.size)
         code = rng.integers(0, 2**16, idx.size)
-        retry = rng.integers(0, 2, idx.size)
-        nw = rng.integers(3, 9, idx.size)
-        texts[idx] = [
-            f"ERROR [{c}] code=0x{int(cd):X} retry={'true' if r else 'false'}: "
-            + " ".join(rng.choice(_WORDS, w))
-            for c, cd, r, w in zip(comp, code, retry, nw)
-        ]
+        retry = np.array(["false", "true"])[rng.integers(0, 2, idx.size)]
+        msg = _join_words(rng, idx.size, 3, 8)
+        texts[idx] = A(
+            A(
+                A(A(A("ERROR [", comp), "] code=0x"), np.char.mod("%X", code)),
+                A(A(" retry=", retry), ": "),
+            ),
+            msg.astype("U"),
+        ).astype(object)
     idx = np.flatnonzero(rule_idx == 2)  # net_event
     if idx.size:
         use_v6 = rng.random(idx.size) < 0.1
@@ -89,29 +119,32 @@ def _make_texts(rule_idx: np.ndarray, rng: np.random.Generator) -> np.ndarray:
         v6tail = rng.integers(1, 0xFFFF, idx.size)
         port = rng.integers(1024, 65535, idx.size)
         lat = rng.uniform(0.1, 500.0, idx.size).round(2)
-        texts[idx] = [
-            (
-                f"connection from 2001:db8::{int(t):x}:{p} latency={l}ms"
-                if v6
-                else f"connection from {o[0]}.{o[1]}.{o[2]}.{o[3]}:{p} latency={l}ms"
-            )
-            for v6, o, t, p, l in zip(use_v6, octets, v6tail, port, lat)
-        ]
+        v4 = A(
+            A(A(octets[:, 0].astype("U"), "."), octets[:, 1].astype("U")),
+            A(A(".", octets[:, 2].astype("U")), A(".", octets[:, 3].astype("U"))),
+        )
+        v6 = A("2001:db8::", np.char.mod("%x", v6tail))
+        ip = np.where(use_v6, v6, v4)
+        texts[idx] = A(
+            A(A("connection from ", ip), A(":", port.astype("U"))),
+            A(A(" latency=", np.char.mod("%g", lat)), "ms"),
+        ).astype(object)
     idx = np.flatnonzero(rule_idx == 3)  # status
     if idx.size:
         status = rng.choice(_STATUSES, idx.size)
         secs = rng.integers(0, 365 * 24 * 3600, idx.size)
         items = rng.integers(0, 10_000, idx.size)
         base = np.datetime64("2026-01-01T00:00:00")
-        when = base + secs.astype("timedelta64[s]")
-        texts[idx] = [
-            f"status={s} at {str(w)}+00:00 items={it}"
-            for s, w, it in zip(status, when, items)
-        ]
+        when = (base + secs.astype("timedelta64[s]")).astype("U")
+        texts[idx] = A(
+            A(A("status=", status), A(" at ", when)),
+            A(A("+00:00 items=", items.astype("U")), ""),
+        ).astype(object)
     idx = np.flatnonzero(rule_idx == 4)  # free text
     if idx.size:
-        nw = rng.integers(8, 40, idx.size)
-        texts[idx] = [" ".join(rng.choice(_WORDS, w)) + "." for w in nw]
+        texts[idx] = np.char.add(_join_words(rng, idx.size, 8, 39).astype("U"), ".").astype(
+            object
+        )
     return texts
 
 

@@ -157,8 +157,7 @@ def sanitise_routes(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArr
     out = pc.utf8_lower(arr)
     out = pc.replace_substring_regex(out, f"[{re.escape(_BAD_CHARS)}]", "")
     out = pc.replace_substring(out, " ", "_")
-    # sequential lstrips: all leading '_', then all leading '.', then '-'
-    out = pc.replace_substring_regex(out, r"^_*", "")
-    out = pc.replace_substring_regex(out, r"^\.*", "")
-    out = pc.replace_substring_regex(out, r"^-*", "")
+    # sequential lstrips (all leading '_', then all '.', then all '-') in
+    # one anchored pass: `^_*\.*-*` matches exactly that sequence
+    out = pc.replace_substring_regex(out, r"^_*\.*-*", "", max_replacements=1)
     return out

