@@ -1,0 +1,75 @@
+"""Windowed aggregates: tumbling vs pandas oracle, sliding membership,
+session gap splitting."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ulp_ray.stages.window import session_windows, sliding_counts, tumbling_counts
+
+
+@pytest.fixture(scope="module")
+def events(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(2)
+    n = 2000
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    ts = base + rng.integers(0, 6 * 3600, n).astype("timedelta64[s]").astype(
+        "timedelta64[us]"
+    )
+    t = pa.table(
+        {
+            "user": pa.array((rng.integers(0, 5, n)).astype("int64")),
+            "kind": pa.array(np.array(["a", "b"])[rng.integers(0, 2, n)]),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(4), t
+
+
+def test_tumbling_counts_matches_pandas(events):
+    ds, t = events
+    got = {
+        (r["kind"], r["window_start"]): r["n"]
+        for r in tumbling_counts(ds, ["kind"], unit="hour").take_all()
+    }
+    df = t.to_pandas()
+    df["window_start"] = df["ts"].dt.floor("h")
+    exp = df.groupby(["kind", "window_start"]).size()
+    assert got == {(k, w.to_pydatetime()): n for (k, w), n in exp.items()}
+
+
+def test_sliding_counts_window_membership(events):
+    ds, t = events
+    out = sliding_counts(ds, ["kind"], size_s=3600, slide_s=1800).take_all()
+    # every row should appear in exactly size/slide = 2 windows
+    total = sum(r["n"] for r in out)
+    assert total == 2 * len(t)
+
+
+def test_session_windows_gap_split(ray_session):
+    import ray.data
+
+    base = pd.Timestamp("2026-01-01")
+    rows = pd.DataFrame(
+        {
+            "user": [1, 1, 1, 1, 2],
+            "ts": [
+                base,
+                base + pd.Timedelta(minutes=5),
+                base + pd.Timedelta(hours=2),  # gap > 30min → new session
+                base + pd.Timedelta(hours=2, minutes=10),
+                base,
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(rows)
+    out = session_windows(ds, "user", gap_s=1800).take_all()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user"], []).append(r)
+    assert len(by_user[1]) == 2
+    assert sorted(s["n_events"] for s in by_user[1]) == [2, 2]
+    assert len(by_user[2]) == 1
