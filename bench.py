@@ -188,14 +188,16 @@ def run_scaling() -> dict:
     eff = (tp_hi / tp_lo) / (hi / lo)
     return {
         "metric": "scaling efficiency (streaming parse→enrich→aggregate "
-        "turns/sec, num_cpus 8 → 32)",
+        f"turns/sec, num_cpus {lo} → {hi})",
         "value": round(eff, 3),
         "unit": "efficiency",
         "turns": SCALING_TURNS,
-        "sec_8": r_lo["sec"],
-        "sec_32": r_hi["sec"],
-        "turns_per_sec_8": tp_lo,
-        "turns_per_sec_32": tp_hi,
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "sec_lo": r_lo["sec"],
+        "sec_hi": r_hi["sec"],
+        "turns_per_sec_lo": tp_lo,
+        "turns_per_sec_hi": tp_hi,
         "scaling_efficiency": round(eff, 3),
     }
 

@@ -40,3 +40,21 @@ def test_partial_counts_fn():
     got = {(r["rule"], r["tool"], r["role"]): r["n"] for r in out.to_pylist()}
     assert got == {("a", "t", "r"): 2, ("b", "t", "r"): 1, ("a", "u", "r"): 1}
     assert out.column_names == ["rule", "tool", "role", "n"]
+
+
+def test_salted_sum_matches_plain(ray_session):
+    import numpy as np
+    import ray.data
+
+    from ulp_ray.stages.aggregate import salted_sum
+
+    rng = np.random.default_rng(1)
+    t = pa.table(
+        {
+            "k": pa.array(np.array(["hot"] * 5000 + ["a", "b"] * 100)),
+            "n": pa.array(np.ones(5200, dtype=np.int64)),
+        }
+    )
+    out = salted_sum(ray.data.from_arrow(t).repartition(4), ["k"], "n", salt=8)
+    got = {r["k"]: r["n"] for r in out.take_all()}
+    assert got == {"hot": 5000, "a": 100, "b": 100}

@@ -218,6 +218,21 @@ def generate_transcripts(
     return table, golden
 
 
+_SHARD_THRESHOLD = 2_000_000
+
+
+def _write_one_shard(args: tuple) -> dict:
+    out_dir, shard, n_rows, seed, hot_frac = args
+    table, golden = generate_transcripts(n_rows, seed=seed, hot_frac=hot_frac)
+    # disjoint conv_id space per shard: prefix with the shard number
+    conv = pa.compute.binary_join_element_wise(
+        f"s{shard:04d}-", table["conv_id"].combine_chunks(), ""
+    )
+    table = table.set_column(0, "conv_id", conv)
+    pq.write_table(table, os.path.join(out_dir, f"part-{shard:05d}.parquet"))
+    return {"|".join(k): v for k, v in golden.counts.items()}
+
+
 def write_transcripts(
     out_dir: str,
     n_turns: int,
@@ -225,18 +240,49 @@ def write_transcripts(
     hot_frac: float = 0.2,
     n_files: int = 16,
 ) -> GoldenCounts:
-    """Write the table as ``n_files`` Parquet files (≥4×CPUs files lets Ray
-    parallelize the read) under ``out_dir``. Idempotent per parameters."""
+    """Write the table as ``n_files`` Parquet files under ``out_dir``.
+    Deterministic per parameters.
+
+    Above ``_SHARD_THRESHOLD`` rows, generation is **shard-wise** (each
+    file generated independently from a derived seed, conv_id namespaced
+    per shard, golden counts summed) and parallelized across local
+    processes — the only shape that works at 10¹²-turn scale, where no
+    single node can materialize the table. Small tables stay monolithic
+    (a single global conv_id space, used by the unit/e2e tests)."""
     os.makedirs(out_dir, exist_ok=True)
-    table, golden = generate_transcripts(n_turns, seed=seed, hot_frac=hot_frac)
-    n = len(table)
-    per = (n + n_files - 1) // n_files
+    if n_turns <= _SHARD_THRESHOLD:
+        table, golden = generate_transcripts(n_turns, seed=seed, hot_frac=hot_frac)
+        n = len(table)
+        per = (n + n_files - 1) // n_files
+        for i in range(n_files):
+            chunk = table.slice(i * per, per)
+            if len(chunk) == 0:
+                break
+            pq.write_table(chunk, os.path.join(out_dir, f"part-{i:05d}.parquet"))
+        return golden
+
+    import multiprocessing as mp
+
+    per = (n_turns + n_files - 1) // n_files
+    jobs = []
+    remaining = n_turns
     for i in range(n_files):
-        chunk = table.slice(i * per, per)
-        if len(chunk) == 0:
+        rows = min(per, remaining)
+        if rows <= 0:
             break
-        pq.write_table(chunk, os.path.join(out_dir, f"part-{i:05d}.parquet"))
-    return golden
+        jobs.append((out_dir, i, rows, seed * 100_003 + i, hot_frac))
+        remaining -= rows
+    procs = min(len(jobs), max(1, (os.cpu_count() or 8) - 2))
+    # fork, not spawn: spawn re-imports __main__, which breaks for stdin /
+    # embedded scripts; fork is fine — workers only run numpy + pyarrow
+    with mp.get_context("fork").Pool(procs) as pool:
+        partials = pool.map(_write_one_shard, jobs)
+    total: dict[tuple[str, str, str], int] = {}
+    for p in partials:
+        for k, v in p.items():
+            key = tuple(k.split("|"))
+            total[key] = total.get(key, 0) + v
+    return GoldenCounts(total)
 
 
 def transcripts_path(n_turns: int, seed: int = 42, root: str = "/tmp/ulp_ray_fixtures") -> str:

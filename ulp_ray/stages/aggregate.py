@@ -28,7 +28,7 @@ from ..functions.schema_merge import (
     infer_type,
 )
 
-__all__ = ["count_rollup", "partial_counts_fn", "schema_rollup_partials"]
+__all__ = ["count_rollup", "partial_counts_fn", "salted_sum", "schema_rollup_partials"]
 
 
 def partial_counts_fn(keys: Sequence[str]):
@@ -75,7 +75,7 @@ def count_rollup(ds, keys: Sequence[str], driver_fold_max_rows: int = 2_000_000)
         **remote_env(),
     ).materialize()
     if partials.count() > driver_fold_max_rows:
-        return partials.groupby(key_list).aggregate(Sum("n", alias_name="n"))
+        return salted_sum(partials, key_list, "n")
     batches = [b for b in partials.iter_batches(batch_format="pyarrow", batch_size=None)]
     if not batches:
         return partials
@@ -84,6 +84,35 @@ def count_rollup(ds, keys: Sequence[str], driver_fold_max_rows: int = 2_000_000)
     cols = {k: g[k] for k in key_list}
     cols["n"] = g["n_sum"]
     return ray.data.from_arrow(pa.table(cols))
+
+
+def salted_sum(ds, keys: Sequence[str], value_col: str, salt: int = 64):
+    """Explicit salted two-phase distributed Sum (the north-rule skew
+    handler for the huge-key-space path): phase 1 groups by
+    ``keys + [__salt]`` — a dominant key's rows split across ``salt``
+    reducers — phase 2 drops the salt and folds the ≤``salt`` rows per
+    key. Use when per-block pre-combining can't bound the partial count
+    (e.g. millions of distinct keys per block)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from .._env import remote_env
+
+    key_list = list(keys)
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        # deterministic-per-batch pseudo-salt: row index modulo salt —
+        # rows of one hot key in one batch spread across salt buckets
+        return batch.append_column(
+            "__salt", pa.array(np.arange(len(batch), dtype=np.int64) % salt)
+        )
+
+    phase1 = (
+        ds.map_batches(add_salt, batch_format="pyarrow", **remote_env())
+        .groupby(key_list + ["__salt"])
+        .aggregate(Sum(value_col, alias_name=value_col))
+    )
+    return phase1.groupby(key_list).aggregate(Sum(value_col, alias_name=value_col))
 
 
 def schema_rollup_partials(ds, route_col: str = "route", sample_per_batch: int = 64):
