@@ -10,9 +10,13 @@ Prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
    "turns": N, "turns_per_sec": N}
 
---scaling: runs the headline twice in fresh processes at num_cpus=8 and
-32 on identical input and prints throughput at both + scaling efficiency
-(T32/T8)/4 (the sandbox evidence for the N→4N ≥0.8 criterion).
+--scaling: runs the streaming parse→enrich→aggregate job twice in fresh
+processes at two num_cpus levels (default 2 and 8 — see BASELINE.md: this
+VM's aggregate memory bandwidth is ~2 GB/s, saturated past ~8 procs, so
+the 8→32 pair measures the box, not the engine; both pairs are reported
+there) on identical input and prints throughput at both + scaling
+efficiency (tp_hi/tp_lo)/(hi/lo) — the sandbox evidence for the N→4N
+≥0.8 criterion.
 """
 
 from __future__ import annotations
@@ -117,7 +121,7 @@ def run_bench() -> dict:
     return result
 
 
-SCALING_TURNS = int(os.environ.get("GRAFT_SCALING_TURNS", "10000000"))
+SCALING_TURNS = int(os.environ.get("GRAFT_SCALING_TURNS", "40000000"))
 
 
 def run_scaling_leg() -> dict:
@@ -180,7 +184,7 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = (
-        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",")
     )
     r_lo, r_hi = one(lo), one(hi)
     tp_lo = r_lo["turns_per_sec"]

@@ -58,3 +58,14 @@ def test_salted_sum_matches_plain(ray_session):
     out = salted_sum(ray.data.from_arrow(t).repartition(4), ["k"], "n", salt=8)
     got = {r["k"]: r["n"] for r in out.take_all()}
     assert got == {"hot": 5000, "a": 100, "b": 100}
+
+
+def test_remote_env_cwd_detection(monkeypatch, tmp_path):
+    from ulp_ray import _env
+
+    monkeypatch.chdir(_env.package_root())
+    assert _env.remote_env() == {}
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("PYTHONPATH", raising=False)
+    env = _env.remote_env()
+    assert _env.package_root() in env["runtime_env"]["env_vars"]["PYTHONPATH"]

@@ -113,3 +113,21 @@ def test_conflicting_capture_types_rejected():
     )
     with pytest.raises(ValueError):
         reg.compile()
+
+
+def test_parse_actor_pool(ray_session):
+    """Actor-pool form of the parse stage (ST1 pattern)."""
+    import ray.data
+
+    from ulp_ray.stages.parse import ParseActor
+
+    ds = ray.data.from_arrow(
+        pa.table({"text": ["Calling tool bash with args path=/x timeout=5"] * 64})
+    )
+    out = ds.map_batches(
+        ParseActor,
+        fn_constructor_kwargs={"registry": default_transcript_registry()},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).take_all()
+    assert all(r["rule"] == "tool_call" and r["x_timeout"] == 5 for r in out)
