@@ -28,7 +28,7 @@ from ..functions.schema_merge import (
     infer_type,
 )
 
-__all__ = ["count_rollup", "partial_counts_fn", "salted_sum", "schema_rollup_partials"]
+__all__ = ["count_rollup", "partial_counts_fn", "sum_rollup", "salted_sum", "schema_rollup_partials"]
 
 
 def partial_counts_fn(keys: Sequence[str]):
@@ -83,6 +83,60 @@ def count_rollup(ds, keys: Sequence[str], driver_fold_max_rows: int = 2_000_000)
     g = tbl.group_by(key_list).aggregate([("n", "sum")])
     cols = {k: g[k] for k in key_list}
     cols["n"] = g["n_sum"]
+    return ray.data.from_arrow(pa.table(cols))
+
+
+def sum_rollup(
+    ds,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    count_col: str | None = "n",
+    driver_fold_max_rows: int = 2_000_000,
+):
+    """Grouped Sum(+Count) with the same partial-per-block + small-fold
+    shape as :func:`count_rollup`: each block collapses to one row per key
+    (Arrow hash-aggregate) carrying partial sums, and the tiny partials
+    fold on the driver (distributed salted fallback above the threshold).
+    Output columns: ``keys + sum_cols (+ count_col)`` — sums keep their
+    input column names."""
+    import ray
+
+    from .._env import remote_env
+
+    key_list = list(keys)
+    sum_list = list(sum_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sum_list]
+        if count_col:
+            aggs.append(([], "count_all"))
+        g = batch.group_by(key_list).aggregate(aggs)
+        cols = {k: g[k] for k in key_list}
+        for c in sum_list:
+            cols[c] = g[f"{c}_sum"]
+        if count_col:
+            cols[count_col] = g["count_all"]
+        return pa.table(cols)
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, **remote_env()
+    ).materialize()
+    if partials.count() > driver_fold_max_rows:
+        from ray.data.aggregate import Sum
+
+        agg_cols = sum_list + ([count_col] if count_col else [])
+        return partials.groupby(key_list).aggregate(
+            *[Sum(c, alias_name=c) for c in agg_cols]
+        )
+    batches = list(partials.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not batches:
+        return partials
+    tbl = pa.concat_tables(batches)
+    agg_cols = sum_list + ([count_col] if count_col else [])
+    g = tbl.group_by(key_list).aggregate([(c, "sum") for c in agg_cols])
+    cols = {k: g[k] for k in key_list}
+    for c in agg_cols:
+        cols[c] = g[f"{c}_sum"]
     return ray.data.from_arrow(pa.table(cols))
 
 
