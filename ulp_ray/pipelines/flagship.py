@@ -194,10 +194,20 @@ def run_pipeline(
             ray_remote_args=remote_env(),
         )
 
-        # partial rollup from the durable sink (columnar, 3 cols only)
-        routed = ray.data.read_parquet(sink_dir, columns=AGG_KEYS)
-        counts = count_rollup(routed, AGG_KEYS)
-        counts_tbl = _counts_to_table(counts)
+        # partial rollup from the durable sink (columnar, 3 cols only).
+        # Small partitions: one driver-side pyarrow read+fold (~ms) instead
+        # of a full Ray execution (~1s fixed cost); big partitions (real
+        # scale) keep the distributed path.
+        sink_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(sink_dir)
+            for f in fs
+        )
+        if sink_bytes < 256 * 1024 * 1024:
+            counts_tbl = _local_sink_counts(sink_dir)
+        else:
+            routed = ray.data.read_parquet(sink_dir, columns=AGG_KEYS)
+            counts_tbl = _counts_to_table(count_rollup(routed, AGG_KEYS))
         partial_dir = os.path.join(out_dir, "rollup_partials")
         os.makedirs(partial_dir, exist_ok=True)
         pq.write_table(counts_tbl, os.path.join(partial_dir, f"partition={pi}.parquet"))
@@ -314,6 +324,31 @@ def run_streaming_counts(
         )
     counts = count_rollup(ds, AGG_KEYS)
     return _counts_to_table(counts)
+
+
+_COUNTS_SCHEMA = pa.schema(
+    [
+        ("rule", pa.string()),
+        ("tool", pa.string()),
+        ("role", pa.string()),
+        ("n", pa.int64()),
+    ]
+)
+
+
+def _local_sink_counts(sink_dir: str) -> pa.Table:
+    """Driver-side (rule, tool, role) counts from a hive-partitioned sink
+    (columns pruned at the read; 'route' is the partition dir)."""
+    import pyarrow.dataset as pads
+
+    dataset = pads.dataset(sink_dir, format="parquet", partitioning="hive")
+    tbl = dataset.to_table(columns=AGG_KEYS)
+    if tbl.num_rows == 0:
+        return _COUNTS_SCHEMA.empty_table()
+    g = tbl.group_by(AGG_KEYS).aggregate([([], "count_all")])
+    cols = {k: g[k] for k in AGG_KEYS}
+    cols["n"] = g["count_all"]
+    return pa.table(cols).cast(_COUNTS_SCHEMA)
 
 
 def _counts_to_table(counts_ds) -> pa.Table:
