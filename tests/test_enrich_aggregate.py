@@ -69,3 +69,15 @@ def test_remote_env_cwd_detection(monkeypatch, tmp_path):
     monkeypatch.delenv("PYTHONPATH", raising=False)
     env = _env.remote_env()
     assert _env.package_root() in env["runtime_env"]["env_vars"]["PYTHONPATH"]
+
+
+def test_enrich_null_role_tool_maps_unknown():
+    batch = pa.table(
+        {
+            "role": pa.array(["user", None]),
+            "tool": pa.array([None, "bash"]),
+        }
+    )
+    out = enrich_batch(batch, DEFAULT_TAXONOMY)
+    assert out["role_class"].to_pylist() == ["unknown", "unknown"]
+    assert out["tool_class"].to_pylist() == ["unknown", "unknown"]

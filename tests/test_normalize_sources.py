@@ -100,3 +100,16 @@ def test_schema_rollup_partials(ray_session):
     assert node_a["v"] is SemType.INT
     # 'x'/'2.5' sniff to STR/FLOAT -> widened to STR across rows
     assert node_a["s"] in (SemType.STR,)
+
+
+def test_cast_column_nan_inf_to_null():
+    import math
+
+    col = pa.array([1.5, math.nan, math.inf, -2.5])
+    out = cast_column(col, pa.int64())
+    assert out.to_pylist() == [2, None, None, -3]
+
+
+def test_cast_column_str_bool_hex_fallback():
+    out = cast_column(pa.array(["0x1", "+1", "true", "x"]), pa.bool_())
+    assert out.to_pylist() == [True, True, True, None]

@@ -79,3 +79,50 @@ def test_manifest_records_lineage(ray_session, data_dir, tmp_path_factory):
     assert all(os.path.isfile(f) for f in m["input_fragments"])
     assert m["counts_sha256"] and m["duration_s"] >= 0
     assert m["registry_version"] == default_transcript_registry().version
+
+
+def test_resume_recomputes_on_input_change(ray_session, tmp_path_factory):
+    """New input files invalidate affected checkpoints (fragment-set
+    comparison) instead of being silently skipped."""
+    d = str(tmp_path_factory.mktemp("grow"))
+    write_transcripts(d, 2_000, n_files=4)
+    out = str(tmp_path_factory.mktemp("run"))
+    res1 = run_pipeline(d, out, partitions=2)
+    assert res1.rows_routed == 2_000
+    # add more files (different seed → different content, new names)
+    write_transcripts(d + "_extra", 1_000, n_files=2, seed=7)
+    import shutil as sh
+
+    for i, f in enumerate(sorted(glob.glob(d + "_extra/*.parquet"))):
+        sh.copy(f, os.path.join(d, f"part-newer-{i:05d}.parquet"))
+    res2 = run_pipeline(d, out, partitions=2)
+    assert res2.partitions_skipped == 0  # groups changed → recompute
+    assert res2.rows_routed == 3_000
+
+
+def test_repartitioned_rerun_prunes_stale_partials(ray_session, tmp_path_factory):
+    """Re-running with fewer partitions must not double-count stale
+    rollup partials from the wider run."""
+    d = str(tmp_path_factory.mktemp("transcripts"))
+    write_transcripts(d, 2_000, n_files=8)
+    out = str(tmp_path_factory.mktemp("run"))
+    res8 = run_pipeline(d, out, partitions=8)
+    res2 = run_pipeline(d, out, partitions=2, resume=False)
+    assert res2.rows_routed == 2_000
+    t8 = {tuple(r.values()) for r in res8.counts.to_pylist()}
+    t2 = {tuple(r.values()) for r in res2.counts.to_pylist()}
+    assert t8 == t2  # identical rollup, no double counting
+    # stale partition files gone
+    import glob as g
+
+    assert len(g.glob(os.path.join(out, "rollup_partials", "*.parquet"))) == 2
+
+
+def test_sidecars_use_sanitized_route_names(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("transcripts"))
+    write_transcripts(d, 1_000, n_files=2)
+    out = str(tmp_path_factory.mktemp("run"))
+    run_pipeline(d, out, partitions=1)
+    sidecars = set(os.listdir(os.path.join(out, "_schemas")))
+    assert "route=unmatched" in sidecars  # sanitized, not "_unmatched"
+    assert "route=_unmatched" not in sidecars

@@ -255,6 +255,11 @@ def unify_arrow_schemas(schemas: list[pa.Schema]) -> pa.Schema:
         numeric_rank = {pa.bool_(): 0, pa.int64(): 1, pa.float64(): 2}
         if a in numeric_rank and b in numeric_rank:
             return max(a, b, key=lambda t: numeric_rank[t])
+        if pa.types.is_timestamp(a) and pa.types.is_timestamp(b):
+            # tz-naive vs tz-aware (or unit mismatch): unify on µs,
+            # tz-aware if either side is — both are Dates semantically
+            tz = a.tz or b.tz
+            return pa.timestamp("us", tz=tz)
         return pa.string()
 
     fields: dict[str, pa.DataType] = {}

@@ -131,10 +131,17 @@ def run_pipeline(
     groups: list[list[str]] = [files[i::partitions] for i in range(partitions)]
 
     completed = load_completed(out_dir) if resume else {}
-    # a registry change invalidates prior checkpoints
+    # a checkpoint is only valid if the registry AND the partition's input
+    # fragment set are unchanged (adding files / changing `partitions`
+    # regroups the inputs — affected partitions must recompute)
     completed = {
-        i: m for i, m in completed.items() if m.registry_version == registry.version
+        i: m
+        for i, m in completed.items()
+        if m.registry_version == registry.version
+        and i < partitions
+        and sorted(m.input_fragments) == sorted(groups[i])
     }
+    _prune_stale_outputs(out_dir, partitions)
 
     taxonomy_ref = put_taxonomy(taxonomy)
     parse_fn = make_parse_fn(registry)
@@ -243,7 +250,17 @@ def run_pipeline(
     pq.write_table(final, os.path.join(rollup_dir, "agg_counts.parquet"))
 
     # per-sink schema sidecars (ES-mapping analog)
-    routes = sorted(set(final["rule"].to_pylist()))
+    # sidecar routes come from the sink directories themselves (the
+    # sanitized route VALUES — e.g. rule "_unmatched" lands in
+    # "route=unmatched"; template routes aren't rule names at all)
+    routes = sorted(
+        {
+            d.split("=", 1)[1]
+            for pdir in globmod.glob(os.path.join(out_dir, "sinks", "partition=*"))
+            for d in os.listdir(pdir)
+            if d.startswith("route=")
+        }
+    )
     sample_sink = _first_sink_schema(out_dir)
     if sample_sink is not None:
         schema_dir = os.path.join(out_dir, "_schemas")
@@ -334,6 +351,28 @@ _COUNTS_SCHEMA = pa.schema(
         ("n", pa.int64()),
     ]
 )
+
+
+def _prune_stale_outputs(out_dir: str, partitions: int) -> None:
+    """Remove partials/sinks/manifests whose partition index no longer
+    exists under the current partitioning — a previous run with more
+    partitions would otherwise leak stale partials into the final rollup
+    (double-counting)."""
+    import re as _re
+
+    for sub, pat in (
+        ("rollup_partials", r"partition=(\d+)\.parquet$"),
+        ("_manifest", r"partition=(\d+)\.json$"),
+        ("sinks", r"partition=(\d+)$"),
+    ):
+        d = os.path.join(out_dir, sub)
+        if not os.path.isdir(d):
+            continue
+        for name in os.listdir(d):
+            m = _re.match(pat, name)
+            if m and int(m.group(1)) >= partitions:
+                path = os.path.join(d, name)
+                shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
 
 
 def _local_sink_counts(sink_dir: str) -> pa.Table:

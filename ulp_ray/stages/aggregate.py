@@ -63,7 +63,6 @@ def count_rollup(ds, keys: Sequence[str], driver_fold_max_rows: int = 2_000_000)
       partials.
     """
     import ray
-    from ray.data.aggregate import Sum
 
     from .._env import remote_env
 

@@ -47,7 +47,11 @@ __all__ = [
     "embedding_neardup_lsh",
 ]
 
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31-1: with a,b,h all < 2^31, (a*h + b) stays < 2^63 —
+# no uint64 wraparound, so the permutations really are a universal family
+# mod p (a 2^61 modulus would overflow uint64 in the product and silently
+# wrap, breaking the uniformity the Jaccard estimate relies on)
+_MERSENNE = (1 << 31) - 1
 
 
 def _stable_u64(arr: np.ndarray) -> np.ndarray:
@@ -186,9 +190,6 @@ def minhash_lsh_candidates(
     )
 
     # dedup pairs found in multiple bands
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates()
-
     return cand.groupby(["id_a", "id_b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas", **remote_env()
     )

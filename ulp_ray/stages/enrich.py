@@ -61,11 +61,11 @@ def enrich_batch(batch: pa.Table, taxonomy: dict) -> pa.Table:
     (role, tool) pair per batch, not per row; unknown pairs map to
     ``"unknown"`` (never drop rows — the route/aggregate must still see
     them)."""
-    role = batch["role"]
-    tool = batch["tool"]
-    key = pc.binary_join_element_wise(
-        pc.cast(role, pa.string()), pc.cast(tool, pa.string()), "\x00"
-    )
+    # null role/tool → sentinel so the pair looks up as unknown rather than
+    # propagating null group keys into the rollup
+    role = pc.fill_null(pc.cast(batch["role"], pa.string()), "\x01null")
+    tool = pc.fill_null(pc.cast(batch["tool"], pa.string()), "\x01null")
+    key = pc.binary_join_element_wise(role, tool, "\x00")
     dict_arr = pc.dictionary_encode(key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key)
     uniques = dict_arr.dictionary.to_pylist()
     rc_vals = []

@@ -42,10 +42,15 @@ def cast_column(col: pa.ChunkedArray | pa.Array, target: pa.DataType) -> pa.Arra
         f = pc.max_element_wise(f, _I32_MIN)
         return pc.cast(f, target)
     if pa.types.is_floating(src) and pa.types.is_integer(target):
-        # round half away from zero (Rust f64::round, types.rs:141-143)
+        # round half away from zero (Rust f64::round, types.rs:141-143);
+        # NaN/±inf → null (the scalar matrix raises CastError there —
+        # safe=False would otherwise emit INT64_MIN garbage)
         sign = pc.sign(col)
         shifted = pc.add(pc.abs(col), 0.5)
         rounded = pc.multiply(pc.floor(shifted), pc.cast(sign, pa.float64()))
+        rounded = pc.if_else(
+            pc.is_finite(col), rounded, pa.scalar(None, pa.float64())
+        )
         return pc.cast(rounded, target, safe=False)
     if pa.types.is_boolean(src) and pa.types.is_string(target):
         return pc.if_else(col, "true", "false")
@@ -53,7 +58,22 @@ def cast_column(col: pa.ChunkedArray | pa.Array, target: pa.DataType) -> pa.Arra
         lowered = pc.utf8_lower(pc.utf8_trim_whitespace(col))
         t = pc.is_in(lowered, value_set=pa.array(["true", "1"]))
         f = pc.is_in(lowered, value_set=pa.array(["false", "0"]))
-        return pc.if_else(pc.or_(t, f), t, pa.scalar(None, pa.bool_()))
+        fast = pc.if_else(pc.or_(t, f), t, pa.scalar(None, pa.bool_()))
+        # values the fast path can't classify may still cast via the full
+        # str_bool matrix (hex '0x1', '+1', ... — types.rs:157-167)
+        unresolved = pc.and_(pc.is_valid(col), pc.invert(pc.or_(t, f)))
+        if not pc.any(unresolved).as_py():
+            return fast
+        out = []
+        for v in col.to_pylist():
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                out.append(casts.str_bool(v))
+            except casts.CastError:
+                out.append(None)
+        return pa.array(out, type=pa.bool_())
     try:
         return pc.cast(col, target)
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError):

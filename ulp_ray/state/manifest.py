@@ -99,9 +99,12 @@ def load_completed(run_dir: str) -> dict[int, PartitionManifest]:
 
 
 def counts_sha256(rows: list[tuple]) -> str:
-    """Deterministic digest of a (key..., n) rollup — lineage checksum."""
+    """Deterministic digest of a (key..., n) rollup — lineage checksum.
+
+    Sorts by repr so rows containing None keys (null group values) don't
+    raise on comparison."""
     h = hashlib.sha256()
-    for row in sorted(rows):
+    for row in sorted(rows, key=repr):
         h.update(repr(row).encode())
         h.update(b"\n")
     return h.hexdigest()
