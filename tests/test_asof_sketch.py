@@ -1,0 +1,86 @@
+"""As-of join vs pandas oracle; HLL approx-distinct accuracy."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ulp_ray.stages.asof import asof_join
+from ulp_ray.stages.sketch import approx_distinct, hll_estimate, hll_partial
+
+
+@pytest.fixture(scope="module")
+def sides(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(6)
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    n_l, n_r = 500, 80
+    left = pd.DataFrame(
+        {
+            "user": rng.integers(0, 10, n_l),
+            "ts": base + rng.integers(0, 100_000, n_l).astype("timedelta64[s]"),
+            "amount": rng.uniform(1, 100, n_l).round(2),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user": rng.integers(0, 10, n_r),
+            "ts": base + rng.integers(0, 100_000, n_r).astype("timedelta64[s]"),
+            "level": rng.integers(1, 5, n_r),
+        }
+    )
+    return (
+        ray.data.from_pandas(left).repartition(4),
+        ray.data.from_pandas(right).repartition(2),
+        left,
+        right,
+    )
+
+
+def test_asof_join_matches_pandas(sides):
+    lds, rds, left, right = sides
+    got = (
+        asof_join(lds, rds, on="user", ts_col="ts")
+        .to_pandas()
+        .sort_values(["user", "ts", "amount"])
+        .reset_index(drop=True)
+    )
+    exp_parts = []
+    for u, lg in left.groupby("user"):
+        rg = right[right["user"] == u].sort_values("ts")
+        lg = lg.sort_values("ts")
+        if rg.empty:
+            m = lg.copy()
+            m["level"] = pd.NA
+        else:
+            m = pd.merge_asof(lg, rg.drop(columns=["user"]), on="ts")
+        exp_parts.append(m)
+    exp = (
+        pd.concat(exp_parts)[["user", "ts", "amount", "level"]]
+        .sort_values(["user", "ts", "amount"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) == len(left)
+    assert (got["amount"].to_numpy() == exp["amount"].to_numpy()).all()
+    g = got["level"].astype("float64").fillna(-1).to_numpy()
+    e = exp["level"].astype("float64").fillna(-1).to_numpy()
+    assert (g == e).all()
+
+
+def test_hll_partial_merge_associative():
+    a = hll_partial(np.arange(1000).astype(str).astype(object))
+    b = hll_partial((np.arange(500) + 800).astype(str).astype(object))
+    merged = np.maximum(a, b)
+    est = hll_estimate(merged)
+    assert abs(est - 1300) / 1300 < 0.05
+
+
+def test_approx_distinct_accuracy(ray_session):
+    import ray.data
+
+    n = 50_000
+    vals = (np.arange(n) % 7919).astype("int64")  # 7919 distinct
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(8)
+    est = approx_distinct(ds, "v")
+    assert abs(est - 7919) / 7919 < 0.05

@@ -1,0 +1,125 @@
+"""As-of (temporal) join — a join shape the reference lacks entirely and
+Ray Data has no primitive for (SURVEY.md §2 custom-operator clause):
+implemented as the documented composition ``bucket by key → co-group →
+pd.merge_asof per group``.
+
+Partitioning assumption (explicit): rows join only within their key
+group — each key's full history must land in one group (true for
+``groupby``); within the group both sides are sorted by the timestamp
+before ``merge_asof``. Backward direction = "latest right row with
+right.ts <= left.ts" (the DuckDB ``ASOF JOIN`` semantics, which is the
+oracle in ``__ray_entry__``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .._env import remote_env
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left,
+    right,
+    on: str,
+    ts_col: str = "ts",
+    right_ts_col: str | None = None,
+    direction: str = "backward",
+    suffix: str = "_r",
+):
+    """Left as-of join: every left row gains the columns of the closest
+    (per ``direction``) right row sharing ``on``.
+
+    Both sides shuffle once on ``on``; the per-group step sorts and runs
+    ``pd.merge_asof``. Right-side non-key columns that collide with left
+    names get ``suffix``.
+    """
+    rts = right_ts_col or ts_col
+
+    lschema, rschema = left.schema(), right.schema()
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    r_payload = [c for c in rcols if c not in (on, rts)]
+    rename_map = {c: (c + suffix if c in lcols else c) for c in r_payload}
+
+    def _arrow_type(t):
+        import numpy as np
+
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    types = {n: _arrow_type(t) for n, t in zip(lschema.names, lschema.types)}
+    for n, t in zip(rschema.names, rschema.types):
+        types[rename_map.get(n, n)] = _arrow_type(t)
+    # unified layout: on, ts, left payload, renamed right payload, side tag
+    l_payload = [c for c in lcols if c not in (on, ts_col)]
+    out_r_payload = [rename_map[c] for c in r_payload]
+    all_cols = [on, "__ts"] + l_payload + out_r_payload
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        cols = {on: batch[on], "__ts": batch[ts_col]}
+        for c in l_payload:
+            cols[c] = batch[c]
+        for c in out_r_payload:
+            cols[c] = pa.nulls(len(batch), type=types[c])
+        cols["__side"] = pa.array(["l"] * len(batch))
+        return pa.table(cols)
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        cols = {on: batch[on], "__ts": batch[rts]}
+        for c in l_payload:
+            cols[c] = pa.nulls(len(batch), type=types[c])
+        for src, dst in rename_map.items():
+            cols[dst] = batch[src]
+        cols["__side"] = pa.array(["r"] * len(batch))
+        return pa.table(cols)
+
+    l = left.map_batches(pad_left, batch_format="pyarrow", **remote_env())
+    r = right.map_batches(pad_right, batch_format="pyarrow", **remote_env())
+
+    def merge(g: pa.Table) -> pa.Table:
+        lg = (
+            g.filter(pc.equal(g["__side"], "l"))
+            .select([on, "__ts"] + l_payload)
+            .to_pandas()
+            .sort_values("__ts", kind="stable")
+        )
+        rg = (
+            g.filter(pc.equal(g["__side"], "r"))
+            .select([on, "__ts"] + out_r_payload)
+            .to_pandas()
+            .sort_values("__ts", kind="stable")
+        )
+        if lg.empty:
+            return pa.table({c: pa.array([], types.get(c, pa.string())) for c in all_cols}).rename_columns(
+                [on, ts_col] + l_payload + out_r_payload
+            )
+        if rg.empty:
+            out = lg.copy()
+            for c in out_r_payload:
+                out[c] = None
+        else:
+            out = pd.merge_asof(
+                lg,
+                rg.drop(columns=[on]),
+                on="__ts",
+                direction=direction,
+            )
+        out = out.rename(columns={"__ts": ts_col})
+        return pa.Table.from_pandas(
+            out[[on, ts_col] + l_payload + out_r_payload], preserve_index=False
+        )
+
+    return l.union(r).groupby(on).map_groups(
+        merge, batch_format="pyarrow", **remote_env()
+    )
