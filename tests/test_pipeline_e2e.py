@@ -107,3 +107,16 @@ def test_generator_determinism():
     assert g1.counts == g2.counts
     t3, _ = generate_transcripts(2_000, seed=8)
     assert not t1.equals(t3)
+
+
+def test_extreme_hot_key_skew_correct(ray_session, tmp_path_factory):
+    """90% of turns in 1% of conversations (north-rule hazard): counts
+    still exact — per-block pre-combining means skew never reaches a
+    shuffle."""
+    d = str(tmp_path_factory.mktemp("skewed"))
+    golden = write_transcripts(d, 20_000, n_files=8, hot_frac=0.9)
+    from ulp_ray.pipelines.flagship import run_streaming_counts
+
+    counts = run_streaming_counts(d)
+    got = {(r["rule"], r["tool"], r["role"]): r["n"] for r in counts.to_pylist()}
+    assert got == golden.counts

@@ -131,3 +131,20 @@ def test_parse_actor_pool(ray_session):
         concurrency=2,
     ).take_all()
     assert all(r["rule"] == "tool_call" and r["x_timeout"] == 5 for r in out)
+
+
+def test_conversion_failure_is_row_level_not_task_level():
+    """A matching row whose capture can't convert yields a null capture,
+    keeps its rule, and never fails the batch (north-rule row-level
+    error policy; the reference panics the worker, src/lib.rs:90)."""
+    reg = RuleRegistry(
+        [Rule("num", r"n=(?P<x_n>\S+)", (Capture("x_n", "int"),))]
+    )
+    out = reg.compile().parse_column(
+        pa.array(["n=42", "n=not_a_number", "n=0x1F", "no match here"])
+    )
+    rows = out.to_pylist()
+    assert [r["rule"] for r in rows] == ["num", "num", "num", UNMATCHED]
+    assert rows[0]["x_n"] == 42
+    assert rows[1]["x_n"] is None  # conversion failed -> null, row kept
+    assert rows[2]["x_n"] == 31  # hex path
