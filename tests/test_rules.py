@@ -148,3 +148,11 @@ def test_conversion_failure_is_row_level_not_task_level():
     assert rows[0]["x_n"] == 42
     assert rows[1]["x_n"] is None  # conversion failed -> null, row kept
     assert rows[2]["x_n"] == 31  # hex path
+
+
+def test_registry_json_round_trip():
+    reg = default_transcript_registry()
+    back = RuleRegistry.from_json(reg.to_json())
+    assert back.version == reg.version
+    assert [r.name for r in back.rules] == [r.name for r in reg.rules]
+    assert back.rules[0].prefilter == reg.rules[0].prefilter

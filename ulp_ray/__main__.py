@@ -50,6 +50,11 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument(
             "--enrich-compute", choices=["tasks", "actors"], default="tasks"
         )
+        sp.add_argument(
+            "--rules",
+            default=None,
+            help="JSON rule-registry file (default: built-in transcript rules)",
+        )
 
     add_common(sub.add_parser("run", help="run the flagship pipeline (fresh)"))
     add_common(sub.add_parser("resume", help="resume, skipping completed partitions"))
@@ -71,10 +76,17 @@ def main(argv: list[str] | None = None) -> int:
 
     _init_ray(args.num_cpus)
     from ulp_ray.pipelines.flagship import run_pipeline
+    from ulp_ray.rules import RuleRegistry
+
+    registry = None
+    if args.rules:
+        with open(args.rules) as f:
+            registry = RuleRegistry.from_json(f.read())
 
     res = run_pipeline(
         args.input,
         args.out,
+        registry=registry,
         partitions=args.partitions,
         resume=(args.cmd == "resume"),
         enrich_compute=args.enrich_compute,

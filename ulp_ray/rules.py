@@ -128,6 +128,46 @@ class RuleRegistry:
     def compile(self) -> "CompiledRegistry":
         return CompiledRegistry(self)
 
+    def to_json(self) -> str:
+        """Serialize the rule set (the declarative user-extension surface —
+        the reference's closed enum registry becomes a config file users
+        edit; ``src/lib.rs:35-56`` analog)."""
+        import json
+
+        return json.dumps(
+            [
+                {
+                    "name": r.name,
+                    "pattern": r.pattern,
+                    "captures": [{"name": c.name, "type": c.type} for c in r.captures],
+                    "route": r.route,
+                    "prefilter": r.prefilter,
+                }
+                for r in self.rules
+            ],
+            indent=1,
+        )
+
+    @classmethod
+    def from_json(cls, text: str) -> "RuleRegistry":
+        import json
+
+        return cls(
+            [
+                Rule(
+                    name=spec["name"],
+                    pattern=spec["pattern"],
+                    captures=tuple(
+                        Capture(c["name"], c.get("type", "str"))
+                        for c in spec.get("captures", [])
+                    ),
+                    route=spec.get("route"),
+                    prefilter=spec.get("prefilter"),
+                )
+                for spec in json.loads(text)
+            ]
+        )
+
     @property
     def version(self) -> str:
         """Deterministic fingerprint of the rule set (recorded in run
