@@ -1,5 +1,7 @@
 """Normalize-to-schema stage, NDJSON round-trip, schema rollup aggregate."""
 
+import os
+
 import pyarrow as pa
 import pytest
 
@@ -113,3 +115,27 @@ def test_cast_column_nan_inf_to_null():
 def test_cast_column_str_bool_hex_fallback():
     out = cast_column(pa.array(["0x1", "+1", "true", "x"]), pa.bool_())
     assert out.to_pylist() == [True, True, True, None]
+
+
+def test_compact_route_preserves_rows(ray_session, tmp_path):
+    import glob as g
+
+    import pyarrow.parquet as pq2
+    import ray.data
+
+    from ulp_ray.stages.compact import compact_route
+
+    d = str(tmp_path / "route=x")
+    os.makedirs(d)
+    # many small files
+    for i in range(6):
+        pq2.write_table(
+            pa.table({"a": list(range(i * 10, i * 10 + 10))}),
+            os.path.join(d, f"part-{i:03d}.parquet"),
+        )
+    n_files = compact_route(d, target_rows=25)
+    files = sorted(g.glob(os.path.join(d, "*.parquet")))
+    # roll when a file reaches >=25 rows: 10-row batches pack 3 per file
+    assert len(files) == n_files == 2
+    vals = sorted(pq2.read_table(d)["a"].to_pylist())
+    assert vals == list(range(60))

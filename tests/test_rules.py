@@ -156,3 +156,19 @@ def test_registry_json_round_trip():
     assert back.version == reg.version
     assert [r.name for r in back.rules] == [r.name for r in reg.rules]
     assert back.rules[0].prefilter == reg.rules[0].prefilter
+
+
+def test_unicode_text_passthrough(compiled):
+    texts = pa.array(
+        [
+            "这是一个中文句子 with mixed 内容 🚀",
+            "état= café… naïve ≠ ASCII",
+            "Calling tool bash with args path=/tmp/文件.txt timeout=9",
+        ]
+    )
+    out = compiled.parse_column(texts)
+    rows = out.to_pylist()
+    assert rows[0]["rule"] == UNMATCHED
+    assert rows[1]["rule"] == UNMATCHED
+    assert rows[2]["rule"] == "tool_call"
+    assert rows[2]["x_path"] == "/tmp/文件.txt"
