@@ -217,7 +217,9 @@ def run_pipeline(
             counts_tbl = _counts_to_table(count_rollup(routed, AGG_KEYS))
         partial_dir = os.path.join(out_dir, "rollup_partials")
         os.makedirs(partial_dir, exist_ok=True)
-        pq.write_table(counts_tbl, os.path.join(partial_dir, f"partition={pi}.parquet"))
+        partial_path = os.path.join(partial_dir, f"partition={pi}.parquet")
+        pq.write_table(counts_tbl, partial_path + ".tmp")
+        os.replace(partial_path + ".tmp", partial_path)  # atomic
 
         rows_routed = int(pa.compute.sum(counts_tbl["n"]).as_py() or 0)
         m = PartitionManifest(

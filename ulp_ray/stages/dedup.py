@@ -148,6 +148,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     num_perm: int = 128,
     bands: int = 16,
+    dedup_pairs: bool = True,
 ):
     """Banded LSH: explode each signature into (band, band_hash, id) rows,
     group by (band, band_hash), and emit candidate pairs (a < b) from each
@@ -176,20 +177,41 @@ def minhash_lsh_candidates(
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+    # Millions of tiny buckets make per-group callbacks the bottleneck
+    # (one Python call per bucket); instead co-locate buckets into a
+    # bounded number of SHARDS (hash(band_hash) % n_shards) and generate
+    # pairs per shard with one vectorized pandas self-merge.
+    n_shards = 64
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = pc.cast(
+            pc.bit_wise_and(batch["band_hash"], pa.scalar(n_shards - 1, pa.uint64())),
+            pa.int64(),
+        )
+        return batch.append_column("shard", shard)
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        df = g[["band", "band_hash", id_col]]
+        m = df.merge(df, on=["band", "band_hash"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out = m.rename(columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})[
+            ["id_a", "id_b"]
+        ].drop_duplicates()
+        return out.astype("int64")
 
     cand = (
         sig_ds.map_batches(explode, batch_format="pyarrow", **remote_env())
-        .groupby(["band", "band_hash"])
-        .map_groups(pairs, batch_format="pandas", **remote_env())
+        .map_batches(add_shard, batch_format="pyarrow", **remote_env())
+        .groupby("shard")
+        .map_groups(shard_pairs, batch_format="pandas", **remote_env())
     )
 
-    # dedup pairs found in multiple bands
+    if not dedup_pairs:
+        # caller dedups (e.g. minhash_dedup's verify loop) — skip the
+        # extra groupby execution
+        return cand
+    # a pair found in several bands may land in different shards → final
+    # global dedup (pairs are few relative to the corpus)
     return cand.groupby(["id_a", "id_b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas", **remote_env()
     )
@@ -221,7 +243,9 @@ def minhash_dedup(
     filter — assumes candidates ≪ corpus; for corpora where that fails,
     verify inside a bucketed join instead)."""
     sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k)
-    cand = minhash_lsh_candidates(sigs, id_col, num_perm, bands).take_all()
+    cand = minhash_lsh_candidates(
+        sigs, id_col, num_perm, bands, dedup_pairs=False
+    ).take_all()
     if not cand:
         return pa.table(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
@@ -317,24 +341,48 @@ def simhash_candidates(sig_ds, id_col: str = "doc_id", max_hamming: int = 3):
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).drop_duplicates(id_col)
-        ids = g[id_col].to_numpy()
-        sigs = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype("int64")
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = sigs[ia] ^ sigs[ib]
-        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
-        keep = ham <= max_hamming
-        return pd.DataFrame(
-            {"id_a": ids[ia][keep], "id_b": ids[ib][keep], "hamming": ham[keep]}
+    # same shard trick as minhash: bounded shard count, vectorized
+    # self-merge per shard, XOR+popcount vectorized over the pair rows
+    n_shards = 64
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = pc.cast(
+            pc.bit_wise_and(batch["band_bits"], pa.scalar(n_shards - 1, pa.uint64())),
+            pa.int64(),
         )
+        return batch.append_column("shard", shard)
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        df = g[["band", "band_bits", id_col, "simhash"]].drop_duplicates(
+            ["band", "band_bits", id_col]
+        )
+        m = df.merge(df, on=["band", "band_bits"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if m.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
+                "int64"
+            )
+        x = m["simhash_a"].to_numpy().astype(np.uint64) ^ m[
+            "simhash_b"
+        ].to_numpy().astype(np.uint64)
+        # vectorized popcount: view as bytes, unpack bits, sum
+        ham = (
+            np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+        m = m.assign(hamming=ham)
+        m = m[m["hamming"] <= max_hamming]
+        out = m.rename(columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})[
+            ["id_a", "id_b", "hamming"]
+        ].drop_duplicates(["id_a", "id_b"])
+        return out.astype({"id_a": "int64", "id_b": "int64", "hamming": "int64"})
 
     cand = (
         sig_ds.map_batches(explode, batch_format="pyarrow", **remote_env())
-        .groupby(["band", "band_bits"])
-        .map_groups(pairs, batch_format="pandas", **remote_env())
+        .map_batches(add_shard, batch_format="pyarrow", **remote_env())
+        .groupby("shard")
+        .map_groups(shard_pairs, batch_format="pandas", **remote_env())
     )
     return cand.groupby(["id_a", "id_b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas", **remote_env()
