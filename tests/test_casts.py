@@ -130,3 +130,40 @@ def test_str_date_rfc3339_only():
 def test_float_str_rust_display():
     assert casts.float_str(1.0) == "1"
     assert casts.float_str(2.5) == "2.5"
+
+
+from hypothesis import given, strategies as st
+
+
+@given(st.text(max_size=40))
+def test_sniff_never_raises(s):
+    assert casts.sniff_str(s) in set(T)
+
+
+@given(
+    st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.floats(allow_nan=False),
+        st.text(max_size=20),
+    ),
+    st.sampled_from([T.NULL, T.BOOL, T.INT, T.FLOAT, T.STR]),
+)
+def test_cast_value_total(v, target):
+    """cast_value either returns a value of the target's python type or
+    raises CastError — never another exception."""
+    try:
+        out = casts.cast_value(v, target)
+    except casts.CastError:
+        return
+    if target is T.NULL:
+        assert out is None
+    elif target is T.BOOL:
+        assert isinstance(out, bool)
+    elif target is T.INT:
+        assert isinstance(out, int) and not isinstance(out, bool)
+    elif target is T.FLOAT:
+        assert isinstance(out, float)
+    elif target is T.STR:
+        assert isinstance(out, str)

@@ -120,3 +120,40 @@ def test_extreme_hot_key_skew_correct(ray_session, tmp_path_factory):
     counts = run_streaming_counts(d)
     got = {(r["rule"], r["tool"], r["role"]): r["n"] for r in counts.to_pylist()}
     assert got == golden.counts
+
+
+def test_template_route_fanout_e2e(ray_session, tmp_path_factory):
+    """The reference's index-pattern feature end-to-end: a rule with a
+    {{capture}} route template fans out per extracted value
+    (src/type_map.rs:9-62 analog)."""
+    from ulp_ray.rules import Capture, Rule, RuleRegistry
+
+    reg = RuleRegistry(
+        [
+            Rule(
+                "tool_call",
+                r"Calling tool (?P<x_tool>\w+) with args path=(?P<x_path>\S+) "
+                r"timeout=(?P<x_timeout>\d+)",
+                (Capture("x_tool"), Capture("x_path"), Capture("x_timeout", "int")),
+                route="tool_{{x_tool}}",
+                prefilter="Calling tool ",
+            )
+        ]
+    )
+    d = str(tmp_path_factory.mktemp("transcripts"))
+    write_transcripts(d, 4_000, n_files=4)
+    out = str(tmp_path_factory.mktemp("run"))
+    res = run_pipeline(d, out, registry=reg, partitions=2)
+    assert res.rows_routed == 4_000
+    routes = {
+        dd.split("=", 1)[1]
+        for p in ("partition=0", "partition=1")
+        for dd in os.listdir(os.path.join(out, "sinks", p))
+        if dd.startswith("route=")
+    }
+    # per-tool fan-out sinks plus the unmatched fallback
+    assert {"tool_bash", "tool_read", "tool_search"} <= routes
+    assert "unmatched" in routes
+    # routed rows in tool_bash all extracted x_tool == bash
+    t = pq.read_table(os.path.join(out, "sinks", "partition=0", "route=tool_bash"))
+    assert set(t["x_tool"].to_pylist()) == {"bash"}
