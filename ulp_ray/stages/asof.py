@@ -47,6 +47,12 @@ def asof_join(
     rcols = list(rschema.names)
     r_payload = [c for c in rcols if c not in (on, rts)]
     rename_map = {c: (c + suffix if c in lcols else c) for c in r_payload}
+    collisions = set(rename_map.values()) & set(lcols)
+    if collisions:
+        raise ValueError(
+            f"right columns {sorted(collisions)} collide with left columns "
+            f"even after suffix {suffix!r} — rename before joining"
+        )
 
     def _arrow_type(t):
         import numpy as np
@@ -65,6 +71,11 @@ def asof_join(
     l_payload = [c for c in lcols if c not in (on, ts_col)]
     out_r_payload = [rename_map[c] for c in r_payload]
     all_cols = [on, "__ts"] + l_payload + out_r_payload
+    types["__ts"] = types[ts_col]
+    out_schema = pa.schema(
+        [(on, types[on]), (ts_col, types[ts_col])]
+        + [(c, types[c]) for c in l_payload + out_r_payload]
+    )
 
     def pad_left(batch: pa.Table) -> pa.Table:
         cols = {on: batch[on], "__ts": batch[ts_col]}
@@ -87,6 +98,18 @@ def asof_join(
     l = left.map_batches(pad_left, batch_format="pyarrow", **remote_env())
     r = right.map_batches(pad_right, batch_format="pyarrow", **remote_env())
 
+    def _typed(out: pd.DataFrame) -> pa.Table:
+        # enforce one schema across ALL groups: merge_asof NaN-floats
+        # unmatched int columns and empty groups would otherwise infer
+        # null/float types that break downstream schema unification
+        arrays = []
+        for field in out_schema:
+            arr = pa.Array.from_pandas(out[field.name])
+            if arr.type != field.type:
+                arr = arr.cast(field.type, safe=False)
+            arrays.append(arr)
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
     def merge(g: pa.Table) -> pa.Table:
         lg = (
             g.filter(pc.equal(g["__side"], "l"))
@@ -101,9 +124,7 @@ def asof_join(
             .sort_values("__ts", kind="stable")
         )
         if lg.empty:
-            return pa.table({c: pa.array([], types.get(c, pa.string())) for c in all_cols}).rename_columns(
-                [on, ts_col] + l_payload + out_r_payload
-            )
+            return out_schema.empty_table()
         if rg.empty:
             out = lg.copy()
             for c in out_r_payload:
@@ -116,9 +137,7 @@ def asof_join(
                 direction=direction,
             )
         out = out.rename(columns={"__ts": ts_col})
-        return pa.Table.from_pandas(
-            out[[on, ts_col] + l_payload + out_r_payload], preserve_index=False
-        )
+        return _typed(out[[on, ts_col] + l_payload + out_r_payload])
 
     return l.union(r).groupby(on).map_groups(
         merge, batch_format="pyarrow", **remote_env()

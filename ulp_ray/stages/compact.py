@@ -24,12 +24,22 @@ __all__ = ["compact_route", "compact_run"]
 def compact_route(route_dir: str, target_rows: int = 1_000_000) -> int:
     """Rewrite one ``route=<x>`` directory into ≥1 files of up to
     ``target_rows`` rows. Returns the resulting file count."""
+    backup = route_dir + ".pre-compact"
+    tmp = route_dir + ".compact.tmp"
+    # recover from a prior crash: mid-swap (route_dir gone, backup holds
+    # the data) → restore; post-swap (both exist) → drop the backup;
+    # stale tmp → drop
+    if os.path.isdir(backup):
+        if not os.path.isdir(route_dir):
+            os.replace(backup, route_dir)
+        else:
+            shutil.rmtree(backup)
+    shutil.rmtree(tmp, ignore_errors=True)
+
     files = sorted(globmod.glob(os.path.join(route_dir, "*.parquet")))
     if len(files) <= 1:
         return len(files)
     total = sum(pq.read_metadata(f).num_rows for f in files)
-    tmp = route_dir + ".compact.tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     writer = None
     out_idx = 0
@@ -60,7 +70,6 @@ def compact_route(route_dir: str, target_rows: int = 1_000_000) -> int:
     # keep sidecars (e.g. _schema.json)
     for side in globmod.glob(os.path.join(route_dir, "_*")):
         shutil.copy(side, tmp)
-    backup = route_dir + ".pre-compact"
     os.replace(route_dir, backup)
     os.replace(tmp, route_dir)
     shutil.rmtree(backup)
@@ -73,6 +82,9 @@ def compact_run(run_dir: str, target_rows: int = 1_000_000) -> dict[str, int]:
     for route_dir in sorted(
         globmod.glob(os.path.join(run_dir, "sinks", "partition=*", "route=*"))
     ):
+        # skip crash debris (handled inside compact_route's recovery)
+        if route_dir.endswith(".pre-compact") or route_dir.endswith(".compact.tmp"):
+            continue
         out[os.path.relpath(route_dir, run_dir)] = compact_route(
             route_dir, target_rows
         )

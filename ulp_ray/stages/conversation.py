@@ -88,10 +88,20 @@ def conversation_stats(ds, driver_fold_max_rows: int = 2_000_000):
     if partials.count() <= driver_fold_max_rows:
         import ray
 
-        tbl = pa.concat_tables(
-            list(partials.iter_batches(batch_format="pyarrow", batch_size=None))
-        )
-        return ray.data.from_arrow(finalize(tbl))
+        batches = list(partials.iter_batches(batch_format="pyarrow", batch_size=None))
+        if not batches:
+            empty = pa.schema(
+                [
+                    ("conv_id", pa.string()),
+                    ("n_turns", pa.int64()),
+                    ("n_tool_turns", pa.int64()),
+                    ("t_start", pa.timestamp("us")),
+                    ("t_end", pa.timestamp("us")),
+                    ("duration_s", pa.float64()),
+                ]
+            ).empty_table()
+            return ray.data.from_arrow(empty)
+        return ray.data.from_arrow(finalize(pa.concat_tables(batches)))
     # distributed fold: group the partials themselves (still pre-combined
     # per block, so a hot conv contributes ≤ #blocks partial rows)
     return partials.groupby("conv_id").map_groups(
@@ -125,12 +135,24 @@ def assemble_conversations(ds):
     sorted by turn_idx — the export shape for conversation-level training
     data."""
 
+    turns_type = pa.list_(
+        pa.struct(
+            [
+                ("turn_idx", pa.int64()),
+                ("role", pa.string()),
+                ("text", pa.string()),
+                ("tool", pa.string()),
+            ]
+        )
+    )
+
     def assemble(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values("turn_idx")
+        # explicit type: per-group inference would give a null-typed
+        # struct field for conversations where e.g. every tool is null
         turns = pa.array(
-            [
-                g[["turn_idx", "role", "text", "tool"]].to_dict("records")
-            ]
+            [g[["turn_idx", "role", "text", "tool"]].to_dict("records")],
+            type=turns_type,
         )
         return pa.table(
             {

@@ -43,6 +43,12 @@ def broadcast_join(
     """
     import ray
 
+    if how not in ("left", "inner"):
+        raise ValueError(
+            "broadcast_join supports how='left'/'inner' only: the merge runs "
+            "per batch, so right/outer would emit the small side's unmatched "
+            "rows once per block"
+        )
     if isinstance(small, pa.Table):
         small = small.to_pandas()
     on_cols = [on] if isinstance(on, str) else list(on)
@@ -77,6 +83,17 @@ def bucketed_hash_join(
     salt upstream if one key dominates.
     """
     on_cols = [on] if isinstance(on, str) else list(on)
+    # bucketing stringifies the key: mismatched key dtypes (int64 vs
+    # float64) would render '1' vs '1.0' into different buckets and
+    # silently lose matches — require equal dtypes up front
+    lt = dict(zip(left.schema().names, left.schema().types))
+    rt = dict(zip(right.schema().names, right.schema().types))
+    for c in on_cols:
+        if str(lt.get(c)) != str(rt.get(c)):
+            raise ValueError(
+                f"join key {c!r} dtype mismatch: {lt.get(c)} vs {rt.get(c)} "
+                "— cast one side before joining"
+            )
 
     def add_bucket(side: str):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:

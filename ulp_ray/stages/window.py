@@ -87,7 +87,7 @@ def session_windows(ds, key: str, ts_col: str = "ts", gap_s: int = 1800):
         sid = np.cumsum(new_session) - 1
         out = (
             pd.DataFrame({key: g[key].to_numpy(), "sid": sid, ts_col: ts})
-            .groupby([key, "sid"], sort=True)
+            .groupby([key, "sid"], sort=True, dropna=False)
             .agg(
                 session_start=(ts_col, "min"),
                 session_end=(ts_col, "max"),
