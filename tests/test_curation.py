@@ -1,0 +1,59 @@
+"""Corpus-curation pipeline: planted dups + junk are removed, good docs
+survive, report counts reconcile."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from ulp_ray.pipelines.curation import curate_documents
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then it runs back to "
+    "the barn where the farmer keeps all of the fresh hay for the winter"
+)
+
+
+def _docs():
+    rows = [
+        (0, GOOD),
+        (1, GOOD),  # exact dup of 0 → dropped by exact dedup
+        (2, GOOD.replace("quick", "speedy")),  # near dup of 0 → dropped by minhash
+        (3, "!!!"),  # junk → dropped by quality filter
+        (4, "a completely different long document about databases and the "
+            "storage engines that power them with many details of the "
+            "internal page layout and the write ahead log"),
+        (5, GOOD),  # exact dup of 0
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_curation_end_to_end(ray_session, tmp_path):
+    import ray.data
+
+    ds = ray.data.from_arrow(_docs())
+    out = str(tmp_path / "curation")
+    curated, report = curate_documents(
+        ds, out_dir=out, min_quality=0.2, jaccard_threshold=0.6
+    )
+    ids = sorted(r["doc_id"] for r in curated.take_all())
+    assert ids == [0, 4]  # dup/near-dup/junk all gone; survivors keep min id
+    assert report.rows_in == 6
+    assert report.rows_after_quality == 5  # junk removed
+    assert report.rows_after_exact_dedup == 3  # 1 and 5 collapsed into 0
+    assert report.near_dup_pairs >= 1  # (0, 2)
+    assert report.rows_out == 2
+    # durable outputs
+    on_disk = json.load(open(os.path.join(out, "report.json")))
+    assert on_disk["rows_out"] == 2
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(out, "curated"))
+    assert sorted(t["doc_id"].to_pylist()) == [0, 4]
+    assert "quality_score" in t.column_names and "lang_pred" in t.column_names

@@ -1,0 +1,116 @@
+"""Corpus-curation pipeline: the training-data use case composed from the
+engine's operators — analyze → quality-filter → exact-dedup → near-dup
+removal → curated Parquet + report.
+
+    read_parquet(documents)
+      → map_batches(analyze)          # lang-ID, quality features,
+                                      # fingerprint (functions/text.py)
+      → filter(quality ≥ min_quality) # vectorized predicate
+      → exact_dedup(on=text)          # hash-partition + per-group first
+      → minhash near-dup pairs        # shingle→sig→LSH→verify ≥ threshold
+      → drop the higher doc_id of each verified pair
+      → write_parquet(out_dir/curated) + report.json
+
+Every stage streams; the only all-to-alls are the dedup groupbys (fixed-
+width hash keys, never text). The report carries per-stage row counts —
+the curation lineage a 100 TB corpus run needs to audit its yield.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .._env import remote_env
+from ..functions.text import fingerprint_batch, lang_id_batch, quality_features
+from ..stages.dedup import exact_dedup, minhash_dedup
+
+__all__ = ["CurationReport", "curate_documents"]
+
+
+@dataclass
+class CurationReport:
+    rows_in: int
+    rows_after_quality: int
+    rows_after_exact_dedup: int
+    near_dup_pairs: int
+    rows_out: int
+    min_quality: float
+    jaccard_threshold: float
+
+    def write(self, out_dir: str) -> None:
+        with open(os.path.join(out_dir, "report.json"), "w") as f:
+            json.dump(asdict(self), f, indent=1, sort_keys=True)
+
+
+def curate_documents(
+    ds,
+    out_dir: str | None = None,
+    min_quality: float = 0.3,
+    jaccard_threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple:
+    """Run the curation pipeline over a documents dataset.
+
+    Returns ``(curated_dataset, CurationReport)``; when ``out_dir`` is
+    given, also writes ``curated/`` Parquet and ``report.json``.
+    """
+    rows_in = ds.count()
+
+    def analyze(batch: pa.Table) -> pa.Table:
+        q = quality_features(batch[text_col])
+        out = batch
+        for name in ("n_tokens", "quality_score"):
+            out = out.append_column(name, q[name])
+        out = out.append_column("lang_pred", lang_id_batch(batch[text_col]))
+        return out.append_column("fingerprint", fingerprint_batch(batch[text_col]))
+
+    analyzed = ds.map_batches(analyze, batch_format="pyarrow", **remote_env())
+
+    filtered = analyzed.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["quality_score"], min_quality)),
+        batch_format="pyarrow",
+        **remote_env(),
+    )
+    rows_after_quality = filtered.count()
+
+    deduped = exact_dedup(filtered, on=text_col, order_col=id_col).materialize()
+    rows_after_exact = deduped.count()
+
+    pairs = minhash_dedup(
+        deduped, text_col=text_col, id_col=id_col, threshold=jaccard_threshold
+    )
+    # drop the higher id of each verified near-dup pair (survivor = min id)
+    losers = sorted({p["id_b"] for p in pairs.to_pylist()})
+    if losers:
+        loser_arr = pa.array(losers, pa.int64())
+        curated = deduped.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.is_in(t[id_col], value_set=loser_arr))
+            ),
+            batch_format="pyarrow",
+            **remote_env(),
+        )
+    else:
+        curated = deduped
+    rows_out = curated.count()
+
+    report = CurationReport(
+        rows_in=rows_in,
+        rows_after_quality=rows_after_quality,
+        rows_after_exact_dedup=rows_after_exact,
+        near_dup_pairs=pairs.num_rows,
+        rows_out=rows_out,
+        min_quality=min_quality,
+        jaccard_threshold=jaccard_threshold,
+    )
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        curated.write_parquet(os.path.join(out_dir, "curated"))
+        report.write(out_dir)
+    return curated, report
