@@ -95,12 +95,44 @@ def exact_dedup(ds, on: str, order_col: str):
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Character k-shingle hash set of one document (uint64, unique)."""
-    if len(text) < k:
-        arr = np.array([text], dtype=object)
-    else:
-        arr = np.array([text[i : i + k] for i in range(len(text) - k + 1)], dtype=object)
-    return np.unique(_stable_u64(arr))
+    """Character k-shingle hash set of one document (uint64, unique).
+    Scalar form (tests, the Jaccard verifier); the signature stage uses
+    the batch form below."""
+    hs = _batch_shingle_hashes([text], k)[0]
+    return np.unique(hs)
+
+
+def _batch_shingle_hashes(texts: list[str | None], k: int) -> list[np.ndarray]:
+    """Byte-level k-gram rolling hashes for a whole batch, vectorized:
+    one concatenated UTF-8 buffer, k shifted-add passes (no per-doc
+    string slicing — that Python loop was the signature stage's cost).
+    Shingles are BYTE k-grams (multibyte chars span >1 unit) — a
+    deterministic, self-consistent family for MinHash."""
+    bufs = [(t or "\x00").encode("utf-8") for t in texts]
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    data = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.uint64)
+    n = len(data)
+    if n < k:
+        data = np.concatenate([data, np.zeros(k, dtype=np.uint64)])
+        n = len(data)
+    # polynomial hash of every k-byte window: h[i] = Σ b[i+j]·P^(k-1-j)
+    P = np.uint64(1099511628211)
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * P + data[j : n - k + 1 + j]
+    # final avalanche (splitmix-style) so nearby windows decorrelate
+    acc ^= acc >> np.uint64(33)
+    acc *= np.uint64(0xFF51AFD7ED558CCD)
+    acc ^= acc >> np.uint64(33)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    out: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        if e - s >= k:
+            out.append(acc[s : e - k + 1])
+        else:  # shorter than one shingle: hash the whole doc
+            out.append(acc[s : s + 1])
+    return out
 
 
 def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -125,9 +157,10 @@ def minhash_signatures(
 
     def sig(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
+        shingles = _batch_shingle_hashes(texts, shingle_k)
         out = np.empty((len(texts), num_perm), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sh = _shingle_hashes(t or "", shingle_k)
+        for i, sh in enumerate(shingles):
+            sh = np.unique(sh)
             # (a*h + b) mod p, min over shingles — classic universal hashing
             vals = (a[:, None] * (sh[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
             out[i] = vals.min(axis=1)
