@@ -39,16 +39,9 @@ def _sf_name() -> str:
 
 
 def _ensure_transcripts(n_turns: int) -> str:
-    from ulp_ray.fixtures import transcripts_path, write_transcripts
+    from ulp_ray.fixtures import ensure_transcripts
 
-    path = transcripts_path(n_turns)
-    if not os.path.isdir(path) or not os.listdir(path):
-        # target ~150k rows (~7.5 MB after snappy) per file: enough files
-        # to parallelize a 32-cpu read, big enough that per-task overhead
-        # doesn't dominate (1 fused task per file)
-        n_files = max(32, min(512, n_turns // 150_000))
-        write_transcripts(path, n_turns, n_files=n_files)
-    return path
+    return ensure_transcripts(n_turns)
 
 
 def _warm_page_cache(path: str) -> None:
@@ -61,6 +54,12 @@ def _warm_page_cache(path: str) -> None:
 
 def run_bench() -> dict:
     import ray
+
+    # generate fixtures BEFORE ray.init: the generator forks a local
+    # process pool, and forking after Ray spawns its gRPC threads is
+    # documented-unsafe (deadlock hazard)
+    n_turns = _SF_TURNS.get(_sf_name(), 100_000)
+    data = _ensure_transcripts(n_turns)
 
     if not ray.is_initialized():
         ray.init(
@@ -76,8 +75,6 @@ def run_bench() -> dict:
     import __ray_entry__ as entrymod
     from ulp_ray.pipelines.flagship import run_pipeline
 
-    n_turns = _SF_TURNS.get(_sf_name(), 100_000)
-    data = _ensure_transcripts(n_turns)
     _warm_page_cache(data)
 
     out = f"/tmp/ulp_ray_bench/{_sf_name()}_cpus{NUM_CPUS}"
@@ -132,6 +129,8 @@ def run_scaling_leg() -> dict:
     shuffle, not process spawn."""
     import ray
 
+    data = _ensure_transcripts(SCALING_TURNS)  # BEFORE ray.init (fork safety)
+
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -144,7 +143,6 @@ def run_scaling_leg() -> dict:
 
     from ulp_ray.pipelines.flagship import run_streaming_counts
 
-    data = _ensure_transcripts(SCALING_TURNS)
     _warm_page_cache(data)
     run_streaming_counts(data)  # untimed full run: spawns every worker,
     # compiles registries, touches all input — the timed runs then measure

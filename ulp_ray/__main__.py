@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -27,8 +28,13 @@ def _init_ray(num_cpus: int | None) -> None:
 
     if not ray.is_initialized():
         kwargs = {"num_cpus": num_cpus} if num_cpus else {}
+        # respect an existing cluster (ray job submit sets RAY_ADDRESS);
+        # fall back to a fresh local instance otherwise
+        address = os.environ.get("RAY_ADDRESS", "local")
+        if address != "local":
+            kwargs = {}  # num_cpus is a local-instance knob only
         ray.init(
-            address="local",
+            address=address,
             include_dashboard=False,
             logging_level="ERROR",
             **kwargs,

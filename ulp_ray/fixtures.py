@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-__all__ = ["GoldenCounts", "generate_transcripts", "write_transcripts", "transcripts_path"]
+__all__ = ["GoldenCounts", "generate_transcripts", "write_transcripts", "transcripts_path", "ensure_transcripts"]
 
 _ROLES = np.array(["user", "assistant", "system", "tool"])
 _ROLE_P = np.array([0.40, 0.40, 0.05, 0.15])
@@ -285,6 +285,42 @@ def write_transcripts(
     return GoldenCounts(total)
 
 
-def transcripts_path(n_turns: int, seed: int = 42, root: str = "/tmp/ulp_ray_fixtures") -> str:
+def transcripts_path(
+    n_turns: int,
+    seed: int = 42,
+    hot_frac: float = 0.2,
+    root: str = "/tmp/ulp_ray_fixtures",
+) -> str:
     """Cache-by-parameters path for generated tables (bench reuse)."""
-    return os.path.join(root, f"transcripts_n{n_turns}_s{seed}")
+    hf = f"_h{hot_frac}" if hot_frac != 0.2 else ""
+    return os.path.join(root, f"transcripts_n{n_turns}_s{seed}{hf}")
+
+
+def default_n_files(n_turns: int) -> int:
+    """~150k rows (~8 MB) per file: enough files for a 32-cpu read, big
+    enough that per-task overhead doesn't dominate (1 fused task/file)."""
+    return max(16, min(512, n_turns // 150_000))
+
+
+def ensure_transcripts(
+    n_turns: int, seed: int = 42, hot_frac: float = 0.2
+) -> str:
+    """Idempotent, ATOMIC cache fill: generation lands in a tmp dir that
+    renames into place, so an interrupted run never leaves a truncated
+    corpus that later callers mistake for complete. The single shared
+    entry point for bench.py and __ray_entry__ (one file-count policy)."""
+    path = transcripts_path(n_turns, seed=seed, hot_frac=hot_frac)
+    if os.path.isdir(path) and os.listdir(path):
+        return path
+    tmp = f"{path}.building-{os.getpid()}"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_transcripts(
+        tmp, n_turns, seed=seed, hot_frac=hot_frac, n_files=default_n_files(n_turns)
+    )
+    try:
+        os.replace(tmp, path)
+    except OSError:  # a concurrent builder won — use theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path

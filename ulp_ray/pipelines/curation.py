@@ -76,7 +76,7 @@ def curate_documents(
         lambda t: t.filter(pc.greater_equal(t["quality_score"], min_quality)),
         batch_format="pyarrow",
         **remote_env(),
-    )
+    ).materialize()  # counted AND re-consumed below — don't re-run analyze
     rows_after_quality = filtered.count()
 
     deduped = exact_dedup(filtered, on=text_col, order_col=id_col).materialize()
@@ -98,6 +98,7 @@ def curate_documents(
         )
     else:
         curated = deduped
+    curated = curated.materialize()  # counted and (optionally) written
     rows_out = curated.count()
 
     report = CurationReport(

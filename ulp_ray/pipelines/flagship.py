@@ -134,12 +134,25 @@ def run_pipeline(
     # a checkpoint is only valid if the registry AND the partition's input
     # fragment set are unchanged (adding files / changing `partitions`
     # regroups the inputs — affected partitions must recompute)
+    def _outputs_exist(i: int, m) -> bool:
+        # a manifest is only trustworthy if the durable outputs it
+        # describes still exist (partials feed the final rollup; a
+        # deleted sink dir is legal only for a zero-row partition)
+        partial_ok = os.path.isfile(
+            os.path.join(out_dir, "rollup_partials", f"partition={i}.parquet")
+        )
+        sink_ok = m.rows_routed == 0 or os.path.isdir(
+            os.path.join(out_dir, "sinks", f"partition={i}")
+        )
+        return partial_ok and sink_ok
+
     completed = {
         i: m
         for i, m in completed.items()
         if m.registry_version == registry.version
         and i < partitions
         and sorted(m.input_fragments) == sorted(groups[i])
+        and _outputs_exist(i, m)
     }
     _prune_stale_outputs(out_dir, partitions)
 
@@ -191,7 +204,17 @@ def run_pipeline(
                 batch_size=batch_size,
                 **remote_env(),
             )
-        from ray.data._internal.savemode import SaveMode
+        try:
+            # private in Ray 2.49 (no public SaveMode path exists);
+            # required because APPEND mode rejects the deterministic
+            # filename provider. A Ray upgrade that moves it should fail
+            # loudly here, not corrupt outputs.
+            from ray.data._internal.savemode import SaveMode
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                "ray.data SaveMode moved — update the overwrite-mode import "
+                "in flagship.run_pipeline for this Ray version"
+            ) from e
 
         ds.write_parquet(
             sink_dir,
@@ -242,7 +265,10 @@ def run_pipeline(
     partial_files = sorted(
         globmod.glob(os.path.join(out_dir, "rollup_partials", "*.parquet"))
     )
-    partials = pa.concat_tables([pq.read_table(f) for f in partial_files])
+    if partial_files:
+        partials = pa.concat_tables([pq.read_table(f) for f in partial_files])
+    else:
+        partials = _COUNTS_SCHEMA.empty_table()
     final = partials.group_by(AGG_KEYS).aggregate([("n", "sum")])
     final = pa.table(
         {**{k: final[k] for k in AGG_KEYS}, "n": final["n_sum"]}
@@ -382,6 +408,10 @@ def _local_sink_counts(sink_dir: str) -> pa.Table:
     (columns pruned at the read; 'route' is the partition dir)."""
     import pyarrow.dataset as pads
 
+    if not os.path.isdir(sink_dir):
+        # a zero-row partition writes no sink dir at all — legal input
+        # (empty shard files happen in real corpora)
+        return _COUNTS_SCHEMA.empty_table()
     dataset = pads.dataset(sink_dir, format="parquet", partitioning="hive")
     tbl = dataset.to_table(columns=AGG_KEYS)
     if tbl.num_rows == 0:
