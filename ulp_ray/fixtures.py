@@ -297,9 +297,10 @@ def transcripts_path(
 
 
 def default_n_files(n_turns: int) -> int:
-    """~150k rows (~8 MB) per file: enough files for a 32-cpu read, big
-    enough that per-task overhead doesn't dominate (1 fused task/file)."""
-    return max(16, min(512, n_turns // 150_000))
+    """~150k rows (~8 MB) per file, floor 32 so a 32-cpu read always has
+    a full wave of tasks; big enough that per-task overhead doesn't
+    dominate (1 fused task per file)."""
+    return max(32, min(512, n_turns // 150_000))
 
 
 def ensure_transcripts(
