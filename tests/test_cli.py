@@ -1,0 +1,50 @@
+"""CLI surface (python -m ulp_ray): run → resume → counts in a real
+subprocess (its own Ray session, as ray job submit would)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from ulp_ray.fixtures import write_transcripts
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cli(*args: str) -> str:
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)  # force the local-instance path
+    out = subprocess.run(
+        [sys.executable, "-m", "ulp_ray", *args],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout.strip().splitlines()[-1]
+
+
+@pytest.mark.slow
+def test_cli_run_resume_counts(tmp_path):
+    data = str(tmp_path / "in")
+    write_transcripts(data, 1_500, n_files=3)
+    out_dir = str(tmp_path / "run")
+
+    r1 = json.loads(_cli("run", "--input", data, "--out", out_dir,
+                         "--partitions", "3", "--num-cpus", "2"))
+    assert r1["rows_routed"] == 1_500 and r1["partitions_run"] == 3
+
+    r2 = json.loads(_cli("resume", "--input", data, "--out", out_dir,
+                         "--partitions", "3", "--num-cpus", "2"))
+    assert r2["partitions_skipped"] == 3 and r2["partitions_run"] == 0
+
+    counts_out = subprocess.run(
+        [sys.executable, "-m", "ulp_ray", "counts", "--out", out_dir],
+        cwd=REPO, capture_output=True, text=True, timeout=60,
+    )
+    rows = [json.loads(l) for l in counts_out.stdout.strip().splitlines()]
+    assert sum(r["n"] for r in rows) == 1_500
