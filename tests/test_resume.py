@@ -126,3 +126,24 @@ def test_sidecars_use_sanitized_route_names(ray_session, tmp_path_factory):
     sidecars = set(os.listdir(os.path.join(out, "_schemas")))
     assert "route=unmatched" in sidecars  # sanitized, not "_unmatched"
     assert "route=_unmatched" not in sidecars
+
+
+def test_audit_run_passes_and_detects_tampering(ray_session, data_dir, tmp_path_factory):
+    from ulp_ray.state.audit import AuditError, audit_run
+
+    out = str(tmp_path_factory.mktemp("run"))
+    run_pipeline(data_dir, out, partitions=4)
+    report = audit_run(out)
+    assert report["ok"] and report["partitions"] == 4
+    assert report["rows_routed"] == N_TURNS
+
+    # tamper: delete one sink file → sink rows no longer match manifest
+    victim = sorted(
+        glob.glob(os.path.join(out, "sinks", "partition=0", "**", "*.parquet"),
+                  recursive=True)
+    )[0]
+    os.remove(victim)
+    with pytest.raises(AuditError, match="sink rows"):
+        audit_run(out)
+    report2 = audit_run(out, strict=False)
+    assert not report2["ok"] and any("sink rows" in p for p in report2["problems"])

@@ -66,8 +66,17 @@ def main(argv: list[str] | None = None) -> int:
     add_common(sub.add_parser("resume", help="resume, skipping completed partitions"))
     sp = sub.add_parser("counts", help="print the rollup of a finished run")
     sp.add_argument("--out", required=True)
+    sp = sub.add_parser("audit", help="verify a run's lineage reconciles")
+    sp.add_argument("--out", required=True)
 
     args = p.parse_args(argv)
+
+    if args.cmd == "audit":
+        from ulp_ray.state.audit import audit_run
+
+        report = audit_run(args.out, strict=False)
+        print(json.dumps(report))
+        return 0 if report["ok"] else 1
 
     if args.cmd == "counts":
         import pyarrow.parquet as pq

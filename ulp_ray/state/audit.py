@@ -1,0 +1,109 @@
+"""Run auditing: verify a finished run's lineage actually reconciles.
+
+``audit_run`` cross-checks the four durable artifacts of a flagship run
+against each other — the check an operator runs before trusting a 100 TB
+output (and the inverse of the reference's blind-trust manifest,
+``/root/reference/src/workerpool.rs:81-101``):
+
+1. every manifest's partial counts file exists and its rows sum to the
+   manifest's ``rows_routed`` and hash to its ``counts_sha256``;
+2. each partition's sink files contain exactly ``rows_routed`` rows
+   (parquet metadata only — no data read);
+3. the final rollup equals the sum of the per-partition partials;
+4. ``run.json`` totals equal the manifest sums.
+
+Returns a dict report; raises ``AuditError`` listing every violation when
+``strict=True``.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import json
+import os
+
+import pyarrow.parquet as pq
+
+from .manifest import counts_sha256, load_completed
+
+__all__ = ["AuditError", "audit_run"]
+
+
+class AuditError(AssertionError):
+    pass
+
+
+def audit_run(run_dir: str, strict: bool = True) -> dict:
+    problems: list[str] = []
+    manifests = load_completed(run_dir)
+    if not manifests:
+        problems.append("no partition manifests found")
+
+    total_rows = 0
+    rollup_sum: dict[tuple, int] = {}
+    for pi, m in sorted(manifests.items()):
+        partial_path = os.path.join(
+            run_dir, "rollup_partials", f"partition={pi}.parquet"
+        )
+        if not os.path.isfile(partial_path):
+            problems.append(f"partition {pi}: partial counts file missing")
+            continue
+        tbl = pq.read_table(partial_path)
+        rows = sum(tbl["n"].to_pylist())
+        if rows != m.rows_routed:
+            problems.append(
+                f"partition {pi}: partial counts sum {rows} != manifest "
+                f"rows_routed {m.rows_routed}"
+            )
+        digest = counts_sha256([tuple(r.values()) for r in tbl.to_pylist()])
+        if digest != m.counts_sha256:
+            problems.append(f"partition {pi}: counts_sha256 mismatch")
+        for r in tbl.to_pylist():
+            key = (r["rule"], r["tool"], r["role"])
+            rollup_sum[key] = rollup_sum.get(key, 0) + r["n"]
+        sink_rows = sum(
+            pq.read_metadata(f).num_rows
+            for f in globmod.glob(
+                os.path.join(run_dir, "sinks", f"partition={pi}", "**", "*.parquet"),
+                recursive=True,
+            )
+        )
+        if sink_rows != m.rows_routed:
+            problems.append(
+                f"partition {pi}: sink rows {sink_rows} != manifest "
+                f"rows_routed {m.rows_routed}"
+            )
+        total_rows += m.rows_routed
+
+    rollup_path = os.path.join(run_dir, "rollup", "agg_counts.parquet")
+    if os.path.isfile(rollup_path):
+        rollup = {
+            (r["rule"], r["tool"], r["role"]): r["n"]
+            for r in pq.read_table(rollup_path).to_pylist()
+        }
+        if rollup != rollup_sum:
+            problems.append("final rollup != sum of per-partition partials")
+    else:
+        problems.append("rollup/agg_counts.parquet missing")
+
+    run_json = os.path.join(run_dir, "_manifest", "run.json")
+    if os.path.isfile(run_json):
+        run = json.load(open(run_json))
+        if run.get("rows_routed") != total_rows:
+            problems.append(
+                f"run.json rows_routed {run.get('rows_routed')} != "
+                f"manifest sum {total_rows}"
+            )
+    else:
+        problems.append("_manifest/run.json missing")
+
+    report = {
+        "run_dir": run_dir,
+        "partitions": len(manifests),
+        "rows_routed": total_rows,
+        "ok": not problems,
+        "problems": problems,
+    }
+    if strict and problems:
+        raise AuditError("; ".join(problems))
+    return report
