@@ -119,3 +119,85 @@ def test_embedding_neardup_lsh_finds_exact_copy(embed_ds):
     pairs = {(r["id_a"], r["id_b"]) for r in out}
     # exact copies share every sign bit → always same bucket
     assert (2, 7) in pairs
+
+
+def test_short_doc_shingles_batch_independent():
+    """A doc shorter than shingle_k must hash identically regardless of
+    batch composition (its single window must not read into the next
+    doc's bytes) and never produce an empty shingle set."""
+    from ulp_ray.stages.dedup import _batch_shingle_hashes
+
+    a = _batch_shingle_hashes(["ab", "XXXXXXXXXX"], 5)[0]
+    b = _batch_shingle_hashes(["ab", "YYYYYYYYYY"], 5)[0]
+    c = _batch_shingle_hashes(["ab"], 5)[0]
+    assert a.shape == b.shape == c.shape == (1,)
+    assert a[0] == b[0] == c[0]
+    # and a long doc's hashes are unaffected by a short neighbor
+    long = _batch_shingle_hashes(["0123456789"], 5)[0]
+    long2 = _batch_shingle_hashes(["ab", "0123456789"], 5)[1]
+    assert (long == long2).all()
+
+
+def test_minhash_dedup_short_docs_no_crash(ray_session):
+    """Corpus containing <k-byte texts used to crash the signature stage
+    (zero-size min reduction)."""
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array([BASE, BASE, "ab", "ab", "", None], pa.string()),
+        }
+    )
+    out = minhash_dedup(ray.data.from_arrow(tbl), threshold=0.8)
+    got = {(r["id_a"], r["id_b"]) for r in out.to_pylist()}
+    assert (0, 1) in got  # the planted exact dup still found
+    assert (2, 3) in got  # identical short docs dedup deterministically
+
+
+def test_minhash_bucketed_verify_matches_driver(ray_session):
+    """The distributed (bucketed-join) verify returns exactly the
+    driver-side verify's pairs."""
+    import ray.data
+
+    rows = []
+    for i in range(40):
+        rows.append((i, BASE + f" variant {i % 7}"))
+    rows += [(100, BASE), (101, BASE), (102, BASE.replace("quick", "speedy"))]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    drv = minhash_dedup(ds, threshold=0.8, verify="driver")
+    bkt = minhash_dedup(ds, threshold=0.8, verify="bucketed")
+    assert drv.to_pylist() == bkt.to_pylist()
+    assert drv.num_rows > 0
+
+
+def test_embedding_neardup_auto_routes_to_lsh(ray_session):
+    """Above max_exact_rows the exact path must NOT materialize the
+    corpus matrix — the LSH path runs instead (same planted pair)."""
+    import ray.data
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(16).astype(np.float32)
+    vecs = [base, base + rng.standard_normal(16).astype(np.float32) * 0.01]
+    for _ in range(30):
+        vecs.append(rng.standard_normal(16).astype(np.float32))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    exact = embedding_neardup(ds, threshold=0.95)
+    routed = embedding_neardup(ds, threshold=0.95, max_exact_rows=10)  # forces LSH
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.to_pylist()}
+    routed_pairs = {(r["id_a"], r["id_b"]) for r in routed.to_pylist()}
+    assert (0, 1) in exact_pairs
+    assert routed_pairs <= exact_pairs  # LSH recall < 1, precision exact
+    assert (0, 1) in routed_pairs  # identical-direction pair survives bucketing

@@ -139,3 +139,29 @@ def test_compact_route_preserves_rows(ray_session, tmp_path):
     assert len(files) == n_files == 2
     vals = sorted(pq2.read_table(d)["a"].to_pylist())
     assert vals == list(range(60))
+
+
+def test_compact_run_recovers_midswap_crash(ray_session, tmp_path):
+    """A crash between the two os.replace calls leaves only
+    route=<x>.pre-compact; compact_run must restore + compact it, not
+    strand the rows."""
+    import glob as g
+
+    import pyarrow.parquet as pq2
+
+    from ulp_ray.stages.compact import compact_run
+
+    run = tmp_path / "run"
+    pdir = run / "sinks" / "partition=0"
+    backup = pdir / "route=x.pre-compact"
+    os.makedirs(backup)
+    for i in range(3):
+        pq2.write_table(
+            pa.table({"a": list(range(i * 10, i * 10 + 10))}),
+            os.path.join(backup, f"part-{i:03d}.parquet"),
+        )
+    out = compact_run(str(run), target_rows=100)
+    live = os.path.join(pdir, "route=x")
+    assert os.path.isdir(live) and not os.path.isdir(str(backup))
+    assert sorted(pq2.read_table(live)["a"].to_pylist()) == list(range(30))
+    assert out == {os.path.join("sinks", "partition=0", "route=x"): 1}

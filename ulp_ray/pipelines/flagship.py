@@ -242,6 +242,10 @@ def run_pipeline(
         os.makedirs(partial_dir, exist_ok=True)
         partial_path = os.path.join(partial_dir, f"partition={pi}.parquet")
         pq.write_table(counts_tbl, partial_path + ".tmp")
+        # fsync before the rename: a torn partial would fail the next
+        # run's final-rollup read instead of being recomputed
+        with open(partial_path + ".tmp", "rb") as pf:
+            os.fsync(pf.fileno())
         os.replace(partial_path + ".tmp", partial_path)  # atomic
 
         rows_routed = int(pa.compute.sum(counts_tbl["n"]).as_py() or 0)

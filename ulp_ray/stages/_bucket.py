@@ -1,0 +1,76 @@
+"""Shared vectorized hash-bucketing for co-grouping stages.
+
+The per-key ``groupby(key).map_groups(fn)`` shape costs one Python
+callback per distinct key — fine for hundreds of keys, fatal for 10⁶+.
+Stages that only need *co-location* (as-of join, sessionization,
+conversation gap/assembly, pair dedup) instead group by
+``hash(key) % buckets``: ~buckets Python callbacks total, with the
+per-bucket body vectorized over all of the bucket's keys at once.
+
+``key_hash_u64`` canonicalizes the column representation BEFORE hashing
+so the same logical key always lands in the same bucket regardless of
+which side / batch it came from (an Arrow int64 column converts to
+float64-with-NaN when it has nulls but stays int64 when it doesn't —
+hashing those raw representations would split a key across buckets).
+Collisions only co-locate extra keys in a bucket, never lose matches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["hash_u64", "key_hash_u64", "combine_hash", "bucket_column"]
+
+_HASH_KEY = "ulp_ray_bucket16"  # pd.util.hash_array key (exactly 16 bytes)
+_FNV = np.uint64(1099511628211)
+_NULL_SENTINEL = "\x00\x00null"
+
+
+def hash_u64(values: np.ndarray) -> np.ndarray:
+    """Deterministic vectorized 64-bit hash of a 1-d numpy array."""
+    return pd.util.hash_array(values, hash_key=_HASH_KEY).astype(np.uint64)
+
+
+def key_hash_u64(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Per-row 64-bit hash of one Arrow column, canonicalized by type
+    family (numeric/bool → float64, temporal → float64 of int64 repr,
+    everything else → string with a null sentinel)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_boolean(t):
+        vals = np.asarray(
+            col.cast(pa.float64()).to_numpy(zero_copy_only=False), dtype=np.float64
+        )
+    elif (
+        pa.types.is_timestamp(t)
+        or pa.types.is_date(t)
+        or pa.types.is_time(t)
+        or pa.types.is_duration(t)
+    ):
+        vals = np.asarray(
+            col.cast(pa.int64()).cast(pa.float64()).to_numpy(zero_copy_only=False),
+            dtype=np.float64,
+        )
+    else:
+        s = pc.fill_null(pc.cast(col, pa.string()), _NULL_SENTINEL)
+        vals = s.to_numpy(zero_copy_only=False)
+    return hash_u64(vals)
+
+
+def combine_hash(h: np.ndarray, hc: np.ndarray) -> np.ndarray:
+    """Order-sensitive combine of two hash streams (uint64 wraparound)."""
+    return h * _FNV + hc
+
+
+def bucket_column(
+    batch: pa.Table, on_cols: list[str], buckets: int
+) -> pa.Array:
+    """``hash(key tuple) % buckets`` as an int64 Arrow array."""
+    h = np.zeros(len(batch), dtype=np.uint64)
+    for c in on_cols:
+        h = combine_hash(h, key_hash_u64(batch[c]))
+    return pa.array((h % np.uint64(buckets)).astype(np.int64))

@@ -1,14 +1,17 @@
 """As-of (temporal) join — a join shape the reference lacks entirely and
 Ray Data has no primitive for (SURVEY.md §2 custom-operator clause):
-implemented as the documented composition ``bucket by key → co-group →
-pd.merge_asof per group``.
+implemented as ``bucket by hash(key) % B → co-group → one
+pd.merge_asof(by=key) per bucket``.
 
-Partitioning assumption (explicit): rows join only within their key
-group — each key's full history must land in one group (true for
-``groupby``); within the group both sides are sorted by the timestamp
-before ``merge_asof``. Backward direction = "latest right row with
-right.ts <= left.ts" (the DuckDB ``ASOF JOIN`` semantics, which is the
-oracle in ``__ray_entry__``).
+Partitioning assumption (explicit): rows join only within their key's
+bucket — a key's full history lands in exactly one bucket because both
+sides use the same canonicalized hash. The per-bucket body is ONE
+``merge_asof`` over all of the bucket's keys (pandas ``by=`` grouping,
+C-level), so the total Python-callback count is ~``buckets``, not
+O(distinct keys) — the round-1 per-key ``map_groups`` form ran one
+callback + two sorts per key. Backward direction = "latest right row
+with right.ts <= left.ts" (DuckDB ``ASOF JOIN`` semantics, the oracle in
+``__ray_entry__``).
 """
 
 from __future__ import annotations
@@ -32,6 +35,7 @@ def asof_join(
     right_ts_col: str | None = None,
     direction: str = "backward",
     suffix: str = "_r",
+    buckets: int = 64,
 ):
     """Left as-of join: every left row gains the columns of the closest
     (per ``direction``) right row sharing ``on``.
@@ -77,6 +81,8 @@ def asof_join(
         + [(c, types[c]) for c in l_payload + out_r_payload]
     )
 
+    from ._bucket import bucket_column
+
     def pad_left(batch: pa.Table) -> pa.Table:
         cols = {on: batch[on], "__ts": batch[ts_col]}
         for c in l_payload:
@@ -84,7 +90,8 @@ def asof_join(
         for c in out_r_payload:
             cols[c] = pa.nulls(len(batch), type=types[c])
         cols["__side"] = pa.array(["l"] * len(batch))
-        return pa.table(cols)
+        t = pa.table(cols)
+        return t.append_column("__bucket", bucket_column(t, [on], buckets))
 
     def pad_right(batch: pa.Table) -> pa.Table:
         cols = {on: batch[on], "__ts": batch[rts]}
@@ -93,7 +100,8 @@ def asof_join(
         for src, dst in rename_map.items():
             cols[dst] = batch[src]
         cols["__side"] = pa.array(["r"] * len(batch))
-        return pa.table(cols)
+        t = pa.table(cols)
+        return t.append_column("__bucket", bucket_column(t, [on], buckets))
 
     l = left.map_batches(pad_left, batch_format="pyarrow", **remote_env())
     r = right.map_batches(pad_right, batch_format="pyarrow", **remote_env())
@@ -111,6 +119,8 @@ def asof_join(
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
     def merge(g: pa.Table) -> pa.Table:
+        # one merge_asof(by=on) over ALL of the bucket's keys: pandas
+        # groups by `on` internally (C-level), no per-key Python
         lg = (
             g.filter(pc.equal(g["__side"], "l"))
             .select([on, "__ts"] + l_payload)
@@ -132,13 +142,14 @@ def asof_join(
         else:
             out = pd.merge_asof(
                 lg,
-                rg.drop(columns=[on]),
+                rg,
                 on="__ts",
+                by=on,
                 direction=direction,
             )
         out = out.rename(columns={"__ts": ts_col})
         return _typed(out[[on, ts_col] + l_payload + out_r_payload])
 
-    return l.union(r).groupby(on).map_groups(
+    return l.union(r).groupby("__bucket").map_groups(
         merge, batch_format="pyarrow", **remote_env()
     )

@@ -79,6 +79,17 @@ def compact_route(route_dir: str, target_rows: int = 1_000_000) -> int:
 def compact_run(run_dir: str, target_rows: int = 1_000_000) -> dict[str, int]:
     """Compact every ``sinks/partition=*/route=*`` directory of a run."""
     out: dict[str, int] = {}
+    # recover mid-swap crashes FIRST: a crash between the two os.replace
+    # calls leaves only route=<x>.pre-compact (the live dir is gone), and
+    # the loop below never visits the missing route dir — restore it here
+    for backup in sorted(
+        globmod.glob(
+            os.path.join(run_dir, "sinks", "partition=*", "route=*.pre-compact")
+        )
+    ):
+        live = backup[: -len(".pre-compact")]
+        if not os.path.isdir(live):
+            os.replace(backup, live)
     for route_dir in sorted(
         globmod.glob(os.path.join(run_dir, "sinks", "partition=*", "route=*"))
     ):

@@ -7,12 +7,17 @@ the reference's per-record model (ulp has no grouped/windowed compute).
   associative) + fold, so a hot conv_id never concentrates raw turns.
 - :func:`turn_gaps` — per-conversation inter-turn latency (ts delta to
   the previous turn under (conv_id, turn_idx) order). Order-dependent ⇒
-  per-group compute: a conversation's turns must co-locate, so a single
-  conv_id holding a large fraction of all turns WILL straggle one task —
-  the documented hot-key hazard for order-dependent ops (mitigate
-  upstream by capping conversation length at ingest).
+  conversations must co-locate — done by ``hash(conv_id) % buckets``
+  co-grouping (one Python callback per BUCKET; the in-bucket body is a
+  single vectorized sort + diff + boundary mask over all of the bucket's
+  conversations). A single conv_id holding a large fraction of all turns
+  still concentrates its bucket — the documented hot-key hazard for
+  order-dependent ops (mitigate upstream by capping conversation length
+  at ingest).
 - :func:`assemble_conversations` — 1 row per conversation with its turns
-  as a sorted list<struct> (the training-data export shape).
+  as a sorted list<struct> (the training-data export shape); same bucket
+  co-grouping, with the list column built by offset slicing
+  (``pa.ListArray.from_arrays``) — no per-conversation Python.
 """
 
 from __future__ import annotations
@@ -109,59 +114,108 @@ def conversation_stats(ds, driver_fold_max_rows: int = 2_000_000):
     )
 
 
-def turn_gaps(ds):
+def turn_gaps(ds, buckets: int = 64):
     """Per-turn latency: ``conv_id, turn_idx, gap_s`` (ts delta to the
-    previous turn; first turn → null). Order established per group."""
+    previous turn; first turn → null). Order established per bucket by a
+    single (conv_id, turn_idx) sort; conversation boundaries mask the
+    cross-conversation diffs."""
+    from ._bucket import bucket_column
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_column(batch, ["conv_id"], buckets)
+        )
 
     def gaps(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx")
-        dt = g["ts"].diff().dt.total_seconds()
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = g["conv_id"].to_numpy()
+        dt = g["ts"].diff().dt.total_seconds().to_numpy()
+        first = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            first[1:] = conv[1:] != conv[:-1]
+        dt[first] = np.nan
         return pd.DataFrame(
             {
-                "conv_id": g["conv_id"].to_numpy(),
+                "conv_id": conv,
                 "turn_idx": g["turn_idx"].to_numpy(),
-                "gap_s": dt.to_numpy(),
+                "gap_s": dt,
             }
         )
 
-    return ds.groupby("conv_id").map_groups(
-        gaps, batch_format="pandas", **remote_env()
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", **remote_env())
+        .groupby("__bucket")
+        .map_groups(gaps, batch_format="pandas", **remote_env())
     )
 
 
-def assemble_conversations(ds):
+def assemble_conversations(ds, buckets: int = 64):
     """Reassemble turns into one row per conversation:
     ``conv_id, n_turns, turns: list<struct{turn_idx, role, text, tool}>``
     sorted by turn_idx — the export shape for conversation-level training
     data."""
 
-    turns_type = pa.list_(
-        pa.struct(
-            [
-                ("turn_idx", pa.int64()),
-                ("role", pa.string()),
-                ("text", pa.string()),
-                ("tool", pa.string()),
-            ]
-        )
+    struct_type = pa.struct(
+        [
+            ("turn_idx", pa.int64()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_turns", pa.int64()),
+            ("turns", pa.list_(struct_type)),
+        ]
     )
 
-    def assemble(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values("turn_idx")
-        # explicit type: per-group inference would give a null-typed
-        # struct field for conversations where e.g. every tool is null
-        turns = pa.array(
-            [g[["turn_idx", "role", "text", "tool"]].to_dict("records")],
-            type=turns_type,
-        )
-        return pa.table(
-            {
-                "conv_id": pa.array([g["conv_id"].iloc[0]], pa.string()),
-                "n_turns": pa.array([len(g)], pa.int64()),
-                "turns": turns,
-            }
+    from ._bucket import bucket_column
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_column(batch, ["conv_id"], buckets)
         )
 
-    return ds.groupby("conv_id").map_groups(
-        assemble, batch_format="pandas", **remote_env()
+    def assemble(g: pd.DataFrame) -> pa.Table:
+        # one bucket = many conversations: sort once, then slice the
+        # struct array into per-conversation lists via run-boundary
+        # offsets — zero per-conversation Python
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        n = len(g)
+        if n == 0:
+            return out_schema.empty_table()
+        conv = g["conv_id"].to_numpy()
+        change = np.ones(n, dtype=bool)
+        change[1:] = conv[1:] != conv[:-1]
+        starts = np.flatnonzero(change)
+        offsets = np.concatenate([starts, [n]]).astype(np.int32)
+        # explicit field types: pandas inference would give a null-typed
+        # field when e.g. every tool in the bucket is null
+        fields = [
+            pa.Array.from_pandas(g["turn_idx"]).cast(pa.int64(), safe=False),
+            pa.Array.from_pandas(g["role"]).cast(pa.string()),
+            pa.Array.from_pandas(g["text"]).cast(pa.string()),
+            pa.Array.from_pandas(g["tool"]).cast(pa.string()),
+        ]
+        struct = pa.StructArray.from_arrays(
+            fields, fields=list(struct_type)
+        )
+        turns = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[starts], pa.string()),
+                "n_turns": pa.array(
+                    np.diff(offsets).astype(np.int64), pa.int64()
+                ),
+                "turns": turns,
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", **remote_env())
+        .groupby("__bucket")
+        .map_groups(assemble, batch_format="pandas", **remote_env())
     )

@@ -109,6 +109,10 @@ def _batch_shingle_hashes(texts: list[str | None], k: int) -> list[np.ndarray]:
     Shingles are BYTE k-grams (multibyte chars span >1 unit) — a
     deterministic, self-consistent family for MinHash."""
     bufs = [(t or "\x00").encode("utf-8") for t in texts]
+    # pad every short doc's OWN buffer to k bytes so its single window
+    # never reads into the next doc (hash must not depend on batch
+    # composition); matches the standalone n<k zero-pad path below
+    bufs = [b if len(b) >= k else b + b"\x00" * (k - len(b)) for b in bufs]
     lens = np.array([len(b) for b in bufs], dtype=np.int64)
     data = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.uint64)
     n = len(data)
@@ -128,10 +132,9 @@ def _batch_shingle_hashes(texts: list[str | None], k: int) -> list[np.ndarray]:
     starts = ends - lens
     out: list[np.ndarray] = []
     for s, e in zip(starts, ends):
-        if e - s >= k:
-            out.append(acc[s : e - k + 1])
-        else:  # shorter than one shingle: hash the whole doc
-            out.append(acc[s : s + 1])
+        # every buffer is ≥ k bytes after padding, so this slice is
+        # always non-empty and never crosses into the next doc
+        out.append(acc[s : e - k + 1])
     return out
 
 
@@ -244,9 +247,29 @@ def minhash_lsh_candidates(
         # extra groupby execution
         return cand
     # a pair found in several bands may land in different shards → final
-    # global dedup (pairs are few relative to the corpus)
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas", **remote_env()
+    # global dedup, bucketed (NOT per-pair map_groups — that is one
+    # Python callback per pair)
+    return _dedup_pair_rows(cand, ["id_a", "id_b"])
+
+
+def _dedup_pair_rows(pair_ds, key_cols: list[str], n_buckets: int = 64):
+    """Distinct pair rows via hash-bucket co-grouping + one vectorized
+    ``drop_duplicates`` per bucket (≈``n_buckets`` Python callbacks
+    total; keeps every non-key column of the first occurrence)."""
+    from ._bucket import bucket_column
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_column(batch, key_cols, n_buckets)
+        )
+
+    def drop(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(key_cols).drop(columns="__bucket")
+
+    return (
+        pair_ds.map_batches(add_bucket, batch_format="pyarrow", **remote_env())
+        .groupby("__bucket")
+        .map_groups(drop, batch_format="pandas", **remote_env())
     )
 
 
@@ -260,6 +283,11 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+_PAIR_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
+)
+
+
 def minhash_dedup(
     ds,
     text_col: str = "text",
@@ -268,23 +296,46 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.8,
+    verify: str = "auto",
+    max_driver_candidates: int = 200_000,
 ) -> pa.Table:
     """End-to-end MinHash-LSH near-dup detection: returns the table
-    ``(id_a, id_b, jaccard)`` of verified pairs with Jaccard ≥ threshold.
+    ``(id_a, id_b, jaccard)`` of verified pairs with Jaccard ≥ threshold,
+    sorted by (id_a, id_b).
 
-    Verification re-reads only candidate texts (a driver-side broadcast
-    filter — assumes candidates ≪ corpus; for corpora where that fails,
-    verify inside a bucketed join instead)."""
+    Verification modes:
+
+    - ``"driver"`` — fetch candidate texts to the driver with a broadcast
+      id filter (fast when candidates ≪ corpus; bounded by
+      ``max_driver_candidates`` under ``"auto"``).
+    - ``"bucketed"`` — the 100 TB path: join candidate pairs to their two
+      texts via two bucketed hash joins (``hash(id) % B`` co-grouping),
+      then verify per batch — NOTHING but the verified pairs ever reaches
+      the driver.
+    - ``"auto"`` (default) — driver below the candidate bound, bucketed
+      above it.
+    """
     sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k)
     cand = minhash_lsh_candidates(
-        sigs, id_col, num_perm, bands, dedup_pairs=False
-    ).take_all()
-    if not cand:
-        return pa.table(
-            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-             "jaccard": pa.array([], pa.float64())}
-        )
-    need = sorted({c["id_a"] for c in cand} | {c["id_b"] for c in cand})
+        sigs, id_col, num_perm, bands, dedup_pairs=True
+    ).materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return _PAIR_SCHEMA.empty_table()
+    if verify == "driver" or (verify == "auto" and n_cand <= max_driver_candidates):
+        out = _verify_pairs_driver(ds, cand, text_col, id_col, shingle_k, threshold)
+    else:
+        out = _verify_pairs_bucketed(ds, cand, text_col, id_col, shingle_k, threshold)
+    return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+def _verify_pairs_driver(
+    ds, cand, text_col, id_col, shingle_k, threshold
+) -> pa.Table:
+    """Driver-side verify: broadcast candidate-id filter, texts fetched
+    once (assumes candidates ≪ corpus)."""
+    pairs = cand.take_all()
+    need = sorted({c["id_a"] for c in pairs} | {c["id_b"] for c in pairs})
     need_set = set(need)
 
     def pick(batch: pa.Table) -> pa.Table:
@@ -297,12 +348,7 @@ def minhash_dedup(
             texts[row[id_col]] = row[text_col]
 
     out_a, out_b, out_j = [], [], []
-    seen = set()
-    for c in cand:
-        key = (c["id_a"], c["id_b"])
-        if key in seen:
-            continue
-        seen.add(key)
+    for c in pairs:
         j = ngram_jaccard(texts.get(c["id_a"]), texts.get(c["id_b"]), shingle_k)
         if j >= threshold:
             out_a.append(c["id_a"])
@@ -317,30 +363,103 @@ def minhash_dedup(
     )
 
 
+def _verify_pairs_bucketed(
+    ds, cand, text_col, id_col, shingle_k, threshold
+) -> pa.Table:
+    """Distributed verify: candidate pairs ↔ texts co-located by two
+    bucketed hash joins; the exact-Jaccard check runs inside
+    ``map_batches`` and only verified pairs leave the workers."""
+    from .join import bucketed_hash_join
+
+    def texts_as(tag: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {f"id_{tag}": batch[id_col], f"__text_{tag}": batch[text_col]}
+            )
+
+        return fn
+
+    t_a = ds.map_batches(texts_as("a"), batch_format="pyarrow", **remote_env())
+    t_b = ds.map_batches(texts_as("b"), batch_format="pyarrow", **remote_env())
+    j1 = bucketed_hash_join(cand, t_a, on="id_a", how="inner")
+    j2 = bucketed_hash_join(j1, t_b, on="id_b", how="inner")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ja = [
+            round(ngram_jaccard(a, b, shingle_k), 6)
+            for a, b in zip(
+                batch["__text_a"].to_pylist(), batch["__text_b"].to_pylist()
+            )
+        ]
+        t = batch.append_column("jaccard", pa.array(ja, pa.float64()))
+        t = t.filter(pc.greater_equal(t["jaccard"], threshold))
+        return t.select(["id_a", "id_b", "jaccard"])
+
+    rows = j2.map_batches(verify, batch_format="pyarrow", **remote_env()).take_all()
+    return pa.Table.from_pylist(rows, schema=_PAIR_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 
 
+_SIMHASH_BITS = np.arange(64, dtype=np.uint64)
+# bound on the (tokens × 64) int32 sign matrix per vectorized block
+_SIMHASH_CHUNK_TOKENS = 1 << 18
+
+
 def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """64-bit simhash per doc: sign-sum of token hashes' bits."""
+    """64-bit simhash per doc: sign-sum of token hashes' bits.
+
+    Fully vectorized per batch: ONE ``pd.util.hash_array`` over all of
+    the batch's tokens, per-doc ±1 bit sums via ``np.add.reduceat`` over
+    token offsets, sign-pack via shifts — no per-doc Python loop (the
+    round-1 form built a binary *string* per doc). Bit j of the
+    signature is set iff the sum of (2·bit_j(hash(tok)) − 1) over the
+    doc's tokens is > 0; empty docs get signature 0."""
 
     def sig(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
-        out = np.empty(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            toks = np.array((t or "").lower().split(), dtype=object)
-            if len(toks) == 0:
-                out[i] = 0
-                continue
-            h = _stable_u64(toks)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int64
-            )
-            acc = (2 * bits - 1).sum(axis=0)
-            out[i] = np.uint64(
-                int("".join("1" if v > 0 else "0" for v in acc[::-1]), 2)
-            )
+        ndocs = len(texts)
+        tok_lists = [(t or "").lower().split() for t in texts]
+        counts = np.array([len(x) for x in tok_lists], dtype=np.int64)
+        out = np.zeros(ndocs, dtype=np.uint64)
+        all_toks = [tok for toks in tok_lists for tok in toks]
+        if all_toks:
+            h = _stable_u64(np.array(all_toks, dtype=object))
+            ends = np.cumsum(counts)
+            starts = ends - counts
+            i = 0
+            while i < ndocs:
+                # grow the doc window until the token budget is spent
+                # (keeps the sign matrix ≤ CHUNK×64 int32 ≈ 64 MiB)
+                j = i
+                tok_budget = 0
+                while j < ndocs and (
+                    j == i or tok_budget + counts[j] <= _SIMHASH_CHUNK_TOKENS
+                ):
+                    tok_budget += counts[j]
+                    j += 1
+                if tok_budget:
+                    hs = h[starts[i] : ends[j - 1]]
+                    signs = (
+                        ((hs[:, None] >> _SIMHASH_BITS[None, :]) & np.uint64(1))
+                        .astype(np.int32)
+                        * 2
+                        - 1
+                    )
+                    cnt = counts[i:j]
+                    nonempty = cnt > 0
+                    acc = np.zeros((j - i, 64), dtype=np.int32)
+                    if nonempty.any():
+                        idx = (starts[i:j] - starts[i])[nonempty]
+                        acc[nonempty] = np.add.reduceat(signs, idx, axis=0)
+                    pos = acc > 0
+                    out[i:j] = (pos.astype(np.uint64) << _SIMHASH_BITS[None, :]).sum(
+                        axis=1, dtype=np.uint64
+                    )
+                i = j
         return pa.table({id_col: batch[id_col], "simhash": pa.array(out, pa.uint64())})
 
     return ds.map_batches(sig, batch_format="pyarrow", **remote_env())
@@ -417,9 +536,7 @@ def simhash_candidates(sig_ds, id_col: str = "doc_id", max_hamming: int = 3):
         .groupby("shard")
         .map_groups(shard_pairs, batch_format="pandas", **remote_env())
     )
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas", **remote_env()
-    )
+    return _dedup_pair_rows(cand, ["id_a", "id_b"])
 
 
 # ---------------------------------------------------------------------------
@@ -427,11 +544,13 @@ def simhash_candidates(sig_ds, id_col: str = "doc_id", max_hamming: int = 3):
 # ---------------------------------------------------------------------------
 
 
-def _normalized_matrix(ds, vec_col: str, id_col: str) -> tuple[np.ndarray, np.ndarray]:
+def _normalized_matrix(
+    ds, vec_col: str, id_col: str, dtype=np.float64
+) -> tuple[np.ndarray, np.ndarray]:
     ids, rows = [], []
     for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
         ids.append(batch[id_col].to_numpy(zero_copy_only=False))
-        flat = np.asarray(batch[vec_col].combine_chunks().flatten(), dtype=np.float32)
+        flat = np.asarray(batch[vec_col].combine_chunks().flatten(), dtype=dtype)
         rows.append(flat.reshape(len(batch), -1))
     mat = np.concatenate(rows)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -444,15 +563,29 @@ def embedding_neardup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    max_exact_rows: int = 2_000_000,
 ) -> pa.Table:
-    """Exact cosine near-dup pairs: the normalized matrix is broadcast
-    (``ray.put`` once), each batch computes block × all matmul and emits
-    pairs with cos ≥ threshold and id_a < id_b.
+    """Cosine near-dup pairs ``(id_a, id_b, cosine)``, id_a < id_b,
+    sorted.
 
-    Broadcast-side footprint: N × dim float32 — fine up to ~10⁷ vectors of
-    dim ≤ 256 on 128 GiB nodes; beyond that use
-    :func:`embedding_neardup_lsh`."""
+    Exact path (≤ ``max_exact_rows``): the normalized matrix is broadcast
+    (``ray.put`` once), each batch computes a block × all matmul in
+    float64 (threshold-exact vs a float64 SQL oracle). Broadcast-side
+    footprint: N × dim float64 — ~2 GB at 10⁶ × 256-d.
+
+    Above the bound this auto-routes to :func:`embedding_neardup_lsh`
+    (random-hyperplane bucketing; recall < 1 by construction) — the scale
+    path never materializes the corpus matrix on the driver."""
     import ray
+
+    n_rows = ds.count()
+    if n_rows > max_exact_rows:
+        rows = embedding_neardup_lsh(
+            ds, vec_col=vec_col, id_col=id_col, threshold=threshold
+        ).take_all()
+        return pa.Table.from_pylist(rows, schema=_COSINE_SCHEMA).sort_by(
+            [("id_a", "ascending"), ("id_b", "ascending")]
+        )
 
     all_ids, mat = _normalized_matrix(ds, vec_col, id_col)
     mat_ref = ray.put((all_ids, mat))
@@ -460,7 +593,7 @@ def embedding_neardup(
     def block_pairs(batch: pa.Table) -> pa.Table:
         ids_all, m = ray.get(mat_ref)
         ids_b = batch[id_col].to_numpy(zero_copy_only=False)
-        flat = np.asarray(batch[vec_col].combine_chunks().flatten(), dtype=np.float32)
+        flat = np.asarray(batch[vec_col].combine_chunks().flatten(), dtype=np.float64)
         vb = flat.reshape(len(ids_b), -1)
         nb = np.linalg.norm(vb, axis=1, keepdims=True)
         nb[nb == 0] = 1.0
@@ -472,17 +605,19 @@ def embedding_neardup(
             {
                 "id_a": pa.array(a[keep], pa.int64()),
                 "id_b": pa.array(b[keep], pa.int64()),
-                "cosine": pa.array(np.round(sims[ia, ja][keep].astype(np.float64), 6)),
+                "cosine": pa.array(np.round(sims[ia, ja][keep], 6)),
             }
         )
 
     out = ds.map_batches(block_pairs, batch_format="pyarrow", **remote_env())
-    return pa.Table.from_pylist(
-        out.take_all(),
-        schema=pa.schema(
-            [("id_a", pa.int64()), ("id_b", pa.int64()), ("cosine", pa.float64())]
-        ),
+    return pa.Table.from_pylist(out.take_all(), schema=_COSINE_SCHEMA).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
     )
+
+
+_COSINE_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("cosine", pa.float64())]
+)
 
 
 def embedding_neardup_lsh(

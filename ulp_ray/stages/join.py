@@ -83,9 +83,8 @@ def bucketed_hash_join(
     salt upstream if one key dominates.
     """
     on_cols = [on] if isinstance(on, str) else list(on)
-    # bucketing stringifies the key: mismatched key dtypes (int64 vs
-    # float64) would render '1' vs '1.0' into different buckets and
-    # silently lose matches — require equal dtypes up front
+    # the pandas per-bucket merge rejects mismatched key dtypes (int64 vs
+    # float64) — require equal dtypes up front for a clear error
     lt = dict(zip(left.schema().names, left.schema().types))
     rt = dict(zip(right.schema().names, right.schema().types))
     for c in on_cols:
@@ -95,20 +94,23 @@ def bucketed_hash_join(
                 "— cast one side before joining"
             )
 
+    from ._bucket import bucket_column
+
     def add_bucket(side: str):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            h = pd.util.hash_pandas_object(
-                batch[on_cols].astype(str).agg("\x00".join, axis=1), index=False
+        def fn(batch: pa.Table) -> pa.Table:
+            # vectorized per-column hash + combine (no stringification,
+            # no per-row apply); canonicalized so both sides agree
+            batch = batch.append_column(
+                "__bucket", bucket_column(batch, on_cols, buckets)
             )
-            batch = batch.copy()
-            batch["__bucket"] = (h % buckets).astype("int64")
-            batch["__side"] = side
-            return batch
+            return batch.append_column(
+                "__side", pa.array([side] * len(batch), pa.string())
+            )
 
         return fn
 
-    l = left.map_batches(add_bucket("l"), batch_format="pandas", **remote_env())
-    r = right.map_batches(add_bucket("r"), batch_format="pandas", **remote_env())
+    l = left.map_batches(add_bucket("l"), batch_format="pyarrow", **remote_env())
+    r = right.map_batches(add_bucket("r"), batch_format="pyarrow", **remote_env())
 
     # union needs one schema: pad each side with the other's columns as
     # typed nulls (pyarrow — pandas would objectify dtypes)

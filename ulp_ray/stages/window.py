@@ -10,12 +10,15 @@ constructs either, SURVEY.md §2.9):
 - :func:`sliding_counts` — each row explodes into the ``size/slide``
   windows that contain it (flat explode inside ``map_batches``), then the
   same rollup.
-- :func:`session_windows` — per-key sessionization: ``groupby(key)``,
-  sort the group by ts, split where the gap exceeds ``gap``; emits one
-  row per session with start/end/count. Ordering assumption: within a
-  group, sessionization sorts by ``ts`` (the shuffle may deliver rows in
-  any order); a key's whole history must fit one group (documented
-  partitioning assumption — salt long-lived keys by day first if not).
+- :func:`session_windows` — per-key sessionization, co-grouped by
+  ``hash(key) % buckets`` (NOT per-key ``map_groups`` — that costs one
+  Python callback per key): each bucket sorts once by (key, ts) and
+  splits sessions with a vectorized key-change/gap mask; emits one row
+  per session with start/end/count. Ordering assumption: a key's whole
+  history lands in one bucket (same hash both ways); the shuffle may
+  deliver bucket rows in any order — the in-bucket sort establishes it.
+  A single key holding a large fraction of all rows still concentrates
+  its bucket (salt long-lived keys by day upstream if so).
 """
 
 from __future__ import annotations
@@ -73,22 +76,38 @@ def sliding_counts(
     return count_rollup(out, keys + ["window_start"])
 
 
-def session_windows(ds, key: str, ts_col: str = "ts", gap_s: int = 1800):
+def session_windows(
+    ds, key: str, ts_col: str = "ts", gap_s: int = 1800, buckets: int = 64
+):
     """Per-key sessions (gap-based): one output row per session with
     ``session_start``, ``session_end``, ``n_events``."""
     gap = np.timedelta64(gap_s, "s")
 
+    from ._bucket import bucket_column
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_column(batch, [key], buckets)
+        )
+
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
+        # whole bucket at once: sort by (key, ts), split on key change OR
+        # gap; session ids are then a single C-level groupby
+        g = g.sort_values([key, ts_col], kind="stable")
         ts = g[ts_col].to_numpy()
-        new_session = np.ones(len(ts), dtype=bool)
-        if len(ts) > 1:
-            new_session[1:] = (ts[1:] - ts[:-1]) > gap
+        kv = g[key].to_numpy()
+        new_session = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            same_key = kv[1:] == kv[:-1]
+            if kv.dtype.kind == "f":  # null keys (NaN) are ONE group,
+                same_key |= np.isnan(kv[1:]) & np.isnan(kv[:-1])  # like SQL PARTITION BY
+            new_session[1:] = ~same_key | ((ts[1:] - ts[:-1]) > gap)
         sid = np.cumsum(new_session) - 1
         out = (
-            pd.DataFrame({key: g[key].to_numpy(), "sid": sid, ts_col: ts})
-            .groupby([key, "sid"], sort=True, dropna=False)
+            pd.DataFrame({key: kv, "sid": sid, ts_col: ts})
+            .groupby("sid", sort=True)
             .agg(
+                **{key: (key, "first")},
                 session_start=(ts_col, "min"),
                 session_end=(ts_col, "max"),
                 n_events=(ts_col, "size"),
@@ -98,4 +117,8 @@ def session_windows(ds, key: str, ts_col: str = "ts", gap_s: int = 1800):
         )
         return out
 
-    return ds.groupby(key).map_groups(sessionize, batch_format="pandas", **remote_env())
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", **remote_env())
+        .groupby("__bucket")
+        .map_groups(sessionize, batch_format="pandas", **remote_env())
+    )

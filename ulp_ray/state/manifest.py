@@ -71,6 +71,8 @@ class RunManifest:
         os.makedirs(os.path.dirname(final), exist_ok=True)
         with open(tmp, "w") as f:
             json.dump(asdict(self), f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, final)
         return final
 
