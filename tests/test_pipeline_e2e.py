@@ -157,3 +157,28 @@ def test_template_route_fanout_e2e(ray_session, tmp_path_factory):
     # routed rows in tool_bash all extracted x_tool == bash
     t = pq.read_table(os.path.join(out, "sinks", "partition=0", "route=tool_bash"))
     assert set(t["x_tool"].to_pylist()) == {"bash"}
+
+
+def test_per_route_schemas_reflect_route_captures(run):
+    """Each route's _schema.json is that route's own merged dynamic
+    schema (index_pattern_mappings analog, type_map.rs:160-172): the
+    route's captures carry real types, other rules' captures stay null."""
+    import json
+
+    _, out_dir, _, _ = run
+
+    def fields(route):
+        p = os.path.join(out_dir, "_schemas", f"route={route}", "_schema.json")
+        with open(p) as f:
+            return {x["name"]: x["type"] for x in json.load(f)["fields"]}
+
+    net = fields("net_event")
+    assert net["x_ip"] == "string" and net["x_port"] == "int64"
+    assert net["x_ts"] == "null"  # status's capture — absent on this route
+    status = fields("status")
+    assert status["x_ts"].startswith("timestamp")
+    assert status["x_ip"] == "null"
+    # the global rollup widens across routes
+    with open(os.path.join(out_dir, "_schemas", "global.json")) as f:
+        g = {x["name"]: x["type"] for x in json.load(f)["fields"]}
+    assert g["x_ip"] == "string" and g["x_ts"].startswith("timestamp")

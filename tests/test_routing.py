@@ -76,3 +76,43 @@ def test_template_evaluate_columns():
         "rule_NONE_NONE",
         "rule_read_NONE",
     ]
+
+
+def test_template_evaluate_columns_nested_struct():
+    """The reference golden case ({{x.y}}_aaa_{{a.b}}_bbb -> apple_aaa_
+    pear_bbb, type_map.rs:201-218) through the VECTORIZED path over
+    struct columns."""
+    batch = pa.table(
+        {
+            "x": pa.array([{"y": "apple"}, {"y": None}, None]),
+            "a": pa.array([{"b": "pear"}, {"b": "plum"}, {"b": "fig"}]),
+        }
+    )
+    p = IndexPattern.parse("{{x.y}}_aaa_{{a.b}}_bbb")
+    assert p.evaluate_columns(batch).to_pylist() == [
+        "apple_aaa_pear_bbb",
+        "NONE_aaa_plum_bbb",
+        "NONE_aaa_fig_bbb",
+    ]
+    # scalar/vector agreement on the golden record
+    rec = {"x": {"y": "apple"}, "a": {"b": "pear"}}
+    assert p.evaluate(rec) == "apple_aaa_pear_bbb"
+
+
+def test_template_evaluate_columns_nested_sentinels():
+    batch = pa.table(
+        {
+            "s": pa.array([{"inner": {"k": 1}, "arr": [1, 2]}] * 2),
+        }
+    )
+    p = IndexPattern.parse("{{s.inner}}|{{s.arr}}|{{s.missing}}|{{s.inner.k}}")
+    out = p.evaluate_columns(batch).to_pylist()
+    # struct leaf -> OBJECT, list leaf -> ARRAY, missing field -> NONE,
+    # non-string scalar -> printed form (vectorized-path deviation)
+    assert out == ["OBJECT|ARRAY|NONE|1"] * 2
+
+
+def test_template_evaluate_columns_list_indexing():
+    batch = pa.table({"tags": pa.array([["a", "b"], ["c"], []])})
+    p = IndexPattern.parse("t_{{tags.1}}")
+    assert p.evaluate_columns(batch).to_pylist() == ["t_b", "t_NONE", "t_NONE"]

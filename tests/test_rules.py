@@ -172,3 +172,65 @@ def test_unicode_text_passthrough(compiled):
     assert rows[1]["rule"] == UNMATCHED
     assert rows[2]["rule"] == "tool_call"
     assert rows[2]["x_path"] == "/tmp/文件.txt"
+
+
+def test_grok_rule_expansion_and_parse():
+    from ulp_ray.rules import RuleRegistry, grok_rule
+
+    reg = RuleRegistry(
+        [
+            grok_rule(
+                "conn",
+                r"connection from %{IPV4:src}:%{POSINT:port} latency=%{NUMBER:lat}ms",
+                prefilter="connection from ",
+            ),
+            grok_rule("err", r"%{LOGLEVEL:level} \[%{WORD:comp}\] %{GREEDYDATA:msg}"),
+        ]
+    )
+    compiled = reg.compile()
+    out = compiled.parse_column(
+        pa.array(
+            [
+                "connection from 10.0.0.1:443 latency=3.5ms",
+                "ERROR [disk] out of space",
+                "no match here",
+            ]
+        )
+    )
+    assert out["rule"].to_pylist() == ["conn", "err", "_unmatched"]
+    assert out["src"].to_pylist()[0] == "10.0.0.1"
+    assert out["port"].to_pylist()[0] == 443  # typed int via IPV4/POSINT defaults
+    assert out["lat"].to_pylist()[0] == 3.5
+    assert out["comp"].to_pylist()[1] == "disk"
+
+
+def test_grok_type_override_and_roundtrip():
+    from ulp_ray.rules import RuleRegistry, grok_rule
+
+    r = grok_rule("kv", r"k=%{NOTSPACE:k:int}")
+    assert r.captures[0].type == "int"
+    reg = RuleRegistry([r])
+    again = RuleRegistry.from_json(reg.to_json())
+    assert again.version == reg.version  # grok expands before serialization
+
+
+def test_grok_unknown_alias_rejected():
+    import pytest as _pytest
+
+    from ulp_ray.rules import expand_grok
+
+    with _pytest.raises(ValueError, match="unknown grok alias"):
+        expand_grok("%{NOPE:x}")
+
+
+def test_grok_timestamp_and_hex():
+    from ulp_ray.rules import RuleRegistry, grok_rule
+
+    reg = RuleRegistry(
+        [grok_rule("st", r"at %{TIMESTAMP_ISO8601:t} code=%{HEXINT:c}")]
+    )
+    out = reg.compile().parse_column(
+        pa.array(["at 2024-05-06T07:08:09+00:00 code=0x1f"])
+    )
+    assert out["c"].to_pylist() == [31]
+    assert out["t"].to_pylist()[0].year == 2024

@@ -116,33 +116,83 @@ class IndexPattern:
         return "".join(out)
 
     def evaluate_columns(self, batch: pa.Table) -> pa.Array:
-        """Vectorized eval when every eval path is a flat string column of
-        ``batch`` — the common case for rule-extracted fields. Null cell →
-        ``NONE``; non-string columns are cast to string (deviation from the
-        as_str() quirk, here by design: extracted columns are typed on
-        purpose and routing on them should use their printed form)."""
+        """Vectorized eval over Arrow columns — flat string columns (the
+        common case for rule-extracted fields) AND dotted paths through
+        nested struct columns (``pc.struct_field`` chains, mirroring the
+        scalar ``dotted_get``). Sentinels per the scalar eval: missing
+        path / null cell → ``NONE``, struct value → ``OBJECT``, list
+        value → ``ARRAY``. Non-string leaf columns are cast to string
+        (deviation from the as_str() quirk, here by design: extracted
+        columns are typed on purpose and routing on them should use
+        their printed form)."""
         n = len(batch)
         pieces: list[pa.Array] = []
         for text, is_eval in self.parts:
             if not is_eval:
                 pieces.append(pa.array([text] * n, type=pa.string()))
             else:
-                if text not in batch.column_names:
-                    pieces.append(pa.array(["NONE"] * n, type=pa.string()))
-                    continue
-                col = batch[text]
-                if not pa.types.is_string(col.type) and not pa.types.is_large_string(
-                    col.type
-                ):
-                    col = pc.cast(col, pa.string())
-                col = pc.fill_null(col, "NONE")
-                pieces.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+                pieces.append(self._eval_path_column(batch, text))
         if not pieces:
             return pa.array([""] * n, type=pa.string())
         out = pieces[0]
         for p in pieces[1:]:
             out = pc.binary_join_element_wise(out, p, "")
         return out
+
+    @staticmethod
+    def _eval_path_column(batch: pa.Table, path: str) -> pa.Array:
+        """One eval part as a string column: resolve ``a.b.c`` where
+        ``a`` is a batch column and the rest traverse struct fields
+        (``pc.struct_field`` per segment — the vectorized analog of the
+        scalar ``dotted_get``). List positional indexing mid-path drops
+        to a per-row fallback for just that piece (rare in routing
+        templates; struct chains are the hot nested case)."""
+        n = len(batch)
+        none_col = pa.array(["NONE"] * n, type=pa.string())
+        segs = path.split(".")
+        if segs[0] not in batch.column_names:
+            return none_col
+        col = batch[segs[0]]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        for i, seg in enumerate(segs[1:], start=1):
+            if pa.types.is_struct(col.type):
+                # a numeric segment never addresses an object
+                # (type_map.rs:68-73); a missing field is NONE
+                if seg.isdigit() or col.type.get_field_index(seg) < 0:
+                    return none_col
+                col = pc.struct_field(col, seg)
+            elif pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+                # per-row list indexing has no null-padding Arrow kernel;
+                # evaluate the remaining path per row on this column only
+                rest = ".".join(segs[i:])
+                vals = []
+                for v in col.to_pylist():
+                    r = dotted_get(v, rest) if v is not None else _MISSING
+                    if r is _MISSING:
+                        vals.append("NONE")
+                    elif isinstance(r, (list, tuple)):
+                        vals.append("ARRAY")
+                    elif isinstance(r, Mapping):
+                        vals.append("OBJECT")
+                    elif isinstance(r, str):
+                        vals.append(r)
+                    elif r is None:
+                        vals.append("NONE")
+                    else:
+                        vals.append(str(r))
+                return pa.array(vals, type=pa.string())
+            else:
+                return none_col  # scalar mid-path → missing
+        # leaf sentinels
+        if pa.types.is_struct(col.type):
+            return pc.if_else(pc.is_valid(col), "OBJECT", "NONE")
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            return pc.if_else(pc.is_valid(col), "ARRAY", "NONE")
+        if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+            col = pc.cast(col, pa.string())
+        col = pc.fill_null(col, "NONE")
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
 def sanitise_route(source: str) -> str:

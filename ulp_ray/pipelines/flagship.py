@@ -50,7 +50,6 @@ from ..rules import RuleRegistry, default_transcript_registry
 from ..stages.aggregate import count_rollup
 from ..stages.enrich import Enricher, make_enrich_fn, put_taxonomy
 from ..stages.parse import make_parse_fn
-from ..stages.route import write_sink_schemas
 from ..state.manifest import (
     PartitionManifest,
     RunManifest,
@@ -111,8 +110,17 @@ def run_pipeline(
     batch_size: int | None = None,
     enrich_compute: str = "tasks",
     enrich_concurrency: tuple[int, int] | int | None = None,
+    text_col: str = "text",
+    pre_fn=None,
 ) -> PipelineResult:
     """Run (or resume) the flagship pipeline over Parquet transcript files.
+
+    ``text_col`` selects the column the rule registry parses; ``pre_fn``
+    (optional pyarrow batch fn) runs right after the read — e.g. to derive
+    the ``role``/``tool`` columns the enrich stage expects from a
+    non-transcript table. Note: ``pre_fn`` is NOT part of the checkpoint
+    fingerprint (the registry version is) — changing it between runs of
+    the same out_dir requires ``resume=False``.
 
     ``out_dir`` layout is the durable contract (SURVEY.md §7.5)::
 
@@ -121,7 +129,9 @@ def run_pipeline(
           rollup_partials/partition=<i>.parquet
           rollup/agg_counts.parquet
           _manifest/partition=<i>.json , _manifest/run.json
-          _schemas/... (per-sink arrow schema sidecars)
+          _schemas_partials/partition=<i>.json  (per-route TypeNode partials)
+          _schemas/route=<r>/_schema.json       (per-route merged dynamic schema)
+          _schemas/global.json                  (all-route merged schema)
     """
     import ray
 
@@ -141,10 +151,13 @@ def run_pipeline(
         partial_ok = os.path.isfile(
             os.path.join(out_dir, "rollup_partials", f"partition={i}.parquet")
         )
+        schema_ok = os.path.isfile(
+            os.path.join(out_dir, "_schemas_partials", f"partition={i}.json")
+        )
         sink_ok = m.rows_routed == 0 or os.path.isdir(
             os.path.join(out_dir, "sinks", f"partition={i}")
         )
-        return partial_ok and sink_ok
+        return partial_ok and schema_ok and sink_ok
 
     completed = {
         i: m
@@ -157,7 +170,7 @@ def run_pipeline(
     _prune_stale_outputs(out_dir, partitions)
 
     taxonomy_ref = put_taxonomy(taxonomy)
-    parse_fn = make_parse_fn(registry)
+    parse_fn = make_parse_fn(registry, text_col=text_col)
     cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
     if enrich_concurrency is None:
         # at most half the cluster: a wider pool starves the read stage
@@ -181,6 +194,8 @@ def run_pipeline(
         # single task per file (no intermediate plasma hop); file sizing is
         # the fixture/ingest side's job (~64k-512k rows per file)
         ds = ray.data.read_parquet(group, override_num_blocks=len(group))
+        if pre_fn is not None:
+            ds = ds.map_batches(pre_fn, batch_format="pyarrow", **remote_env())
         ds = ds.map_batches(
             parse_fn,
             batch_format="pyarrow",
@@ -248,6 +263,11 @@ def run_pipeline(
             os.fsync(pf.fileno())
         os.replace(partial_path + ".tmp", partial_path)  # atomic
 
+        # per-route dynamic-schema partial (index_pattern_mappings analog,
+        # type_map.rs:160-172): bounded row sample per route dir, merged
+        # across partitions at the end via the §P3 lattice
+        _write_schema_partial(out_dir, pi, _route_schema_partial(sink_dir))
+
         rows_routed = int(pa.compute.sum(counts_tbl["n"]).as_py() or 0)
         m = PartitionManifest(
             partition=pi,
@@ -281,23 +301,13 @@ def run_pipeline(
     os.makedirs(rollup_dir, exist_ok=True)
     pq.write_table(final, os.path.join(rollup_dir, "agg_counts.parquet"))
 
-    # per-sink schema sidecars (ES-mapping analog)
-    # sidecar routes come from the sink directories themselves (the
-    # sanitized route VALUES — e.g. rule "_unmatched" lands in
-    # "route=unmatched"; template routes aren't rule names at all)
-    routes = sorted(
-        {
-            d.split("=", 1)[1]
-            for pdir in globmod.glob(os.path.join(out_dir, "sinks", "partition=*"))
-            for d in os.listdir(pdir)
-            if d.startswith("route=")
-        }
-    )
-    sample_sink = _first_sink_schema(out_dir)
-    if sample_sink is not None:
-        schema_dir = os.path.join(out_dir, "_schemas")
-        os.makedirs(schema_dir, exist_ok=True)
-        write_sink_schemas(schema_dir, sample_sink, routes)
+    # per-route dynamic schema sidecars (ES-mapping analog): merge every
+    # partition's (route → TypeNode) partial with the widening lattice and
+    # render one _schema.json per route — each sidecar reflects THAT
+    # route's captures (absent captures stay Null-typed), replacing the
+    # round-1 single sampled sidecar. Routes come from the sink dirs (the
+    # sanitized route VALUES — rule "_unmatched" lands in "route=unmatched")
+    _write_merged_schemas(out_dir)
 
     rows_in_total = sum(m.rows_in for m in manifests)
     rows_routed_total = sum(m.rows_routed for m in manifests)
@@ -395,6 +405,7 @@ def _prune_stale_outputs(out_dir: str, partitions: int) -> None:
     for sub, pat in (
         ("rollup_partials", r"partition=(\d+)\.parquet$"),
         ("_manifest", r"partition=(\d+)\.json$"),
+        ("_schemas_partials", r"partition=(\d+)\.json$"),
         ("sinks", r"partition=(\d+)$"),
     ):
         d = os.path.join(out_dir, sub)
@@ -449,9 +460,84 @@ def _counts_to_table(counts_ds) -> pa.Table:
     )
 
 
-def _first_sink_schema(out_dir: str):
+def _route_schema_partial(sink_dir: str, sample_rows: int = 64) -> dict[str, str]:
+    """One partition's (route → serialized TypeNode) map, inferred from a
+    bounded row sample of each route's first sink file. O(routes) work per
+    partition — the dynamic tree feeds only the sidecar metadata; the
+    physical Arrow schema is exact regardless (same bound as
+    ``schema_rollup_partials``, ``stages/aggregate.py``)."""
+    from ..functions.schema_merge import infer_type, merge_types
+    from ..stages.aggregate import _dump_node
+
+    out: dict[str, str] = {}
+    if not os.path.isdir(sink_dir):
+        return out
+    for rd in sorted(os.listdir(sink_dir)):
+        if not rd.startswith("route="):
+            continue
+        files = sorted(globmod.glob(os.path.join(sink_dir, rd, "*.parquet")))
+        if not files:
+            continue
+        pf = pq.ParquetFile(files[0])
+        try:
+            batch = next(pf.iter_batches(batch_size=sample_rows))
+        except StopIteration:
+            continue
+        node = None
+        for row in pa.Table.from_batches([batch]).to_pylist():
+            t = infer_type(row)
+            node = t if node is None else merge_types(node, t)
+        if node is not None:
+            out[rd.split("=", 1)[1]] = _dump_node(node)
+    return out
+
+
+def _write_schema_partial(out_dir: str, pi: int, partial: dict[str, str]) -> None:
+    import json
+
+    d = os.path.join(out_dir, "_schemas_partials")
+    os.makedirs(d, exist_ok=True)
+    final = os.path.join(d, f"partition={pi}.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(partial, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, final)
+
+
+def _write_merged_schemas(out_dir: str) -> None:
+    """Fold all partitions' (route → TypeNode) partials and write the
+    per-route + global ``_schema.json`` sidecars."""
+    import json
+
+    from ..functions.schema_merge import (
+        arrow_schema_to_json,
+        merge_types,
+        type_node_to_arrow,
+    )
+    from ..stages.aggregate import _load_node
+
+    merged: dict = {}
     for f in sorted(
-        globmod.glob(os.path.join(out_dir, "sinks", "partition=*", "route=*", "*.parquet"))
+        globmod.glob(os.path.join(out_dir, "_schemas_partials", "partition=*.json"))
     ):
-        return pq.read_schema(f)
-    return None
+        with open(f) as fh:
+            partial = json.load(fh)
+        for route, node_json in partial.items():
+            node = _load_node(node_json)
+            merged[route] = merge_types(merged[route], node) if route in merged else node
+    if not merged:
+        return
+    schema_dir = os.path.join(out_dir, "_schemas")
+    global_node = None
+    for route, node in sorted(merged.items()):
+        struct = type_node_to_arrow(node)
+        schema = pa.schema(list(struct))
+        d = os.path.join(schema_dir, f"route={route}")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "_schema.json"), "w") as fh:
+            fh.write(arrow_schema_to_json(schema))
+        global_node = node if global_node is None else merge_types(global_node, node)
+    with open(os.path.join(schema_dir, "global.json"), "w") as fh:
+        fh.write(arrow_schema_to_json(pa.schema(list(type_node_to_arrow(global_node)))))

@@ -39,6 +39,9 @@ __all__ = [
     "RuleRegistry",
     "CompiledRegistry",
     "UNMATCHED",
+    "GROK_PATTERNS",
+    "grok_rule",
+    "expand_grok",
     "default_transcript_registry",
 ]
 
@@ -181,6 +184,92 @@ class RuleRegistry:
                 f"{[(c.name, c.type) for c in r.captures]}\x01".encode()
             )
         return h.hexdigest()[:16]
+
+
+# ---------------------------------------------------------------------------
+# grok-style pattern aliases
+# ---------------------------------------------------------------------------
+
+# the alias vocabulary log-pipeline users actually write (the north star's
+# "grok/regex rule registry"); each expands to a plain regex fragment and,
+# where the alias implies one, a default typed conversion. Pattern bodies
+# follow the public grok pattern family.
+GROK_PATTERNS: dict[str, str] = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "POSINT": r"\d+",
+    "HEXINT": r"0x[0-9a-fA-F]+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "BOOL": r"true|false",
+    "IPV4": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "IPV6": r"[0-9a-fA-F:]+",
+    "IP": r"(?:(?:\d{1,3}\.){3}\d{1,3}|[0-9a-fA-F:]+)",
+    "TIMESTAMP_ISO8601": (
+        r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?"
+        r"(?:Z|[+-]\d{2}:?\d{2})?"
+    ),
+    "LOGLEVEL": r"TRACE|DEBUG|INFO|WARN(?:ING)?|ERROR|FATAL|CRITICAL",
+    "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
+}
+
+# alias → default capture type (overridable with %{ALIAS:name:type})
+_GROK_TYPES: dict[str, str] = {
+    "INT": "int",
+    "POSINT": "int",
+    "HEXINT": "int",
+    "NUMBER": "float",
+    "BOOL": "bool",
+    "IPV4": "ip",
+    "IPV6": "ip",
+    "IP": "ip",
+    "TIMESTAMP_ISO8601": "ts",
+}
+
+_GROK_RE = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
+
+
+def expand_grok(grok: str) -> tuple[str, tuple[Capture, ...]]:
+    """Expand ``%{ALIAS:field}`` / ``%{ALIAS}`` / ``%{ALIAS:field:type}``
+    into a plain regex with ``(?P<field>…)`` groups plus the typed capture
+    list. Text outside ``%{…}`` is kept verbatim (regex semantics, like
+    grok). Unknown aliases raise."""
+    captures: list[Capture] = []
+
+    def sub(m: re.Match) -> str:
+        alias, name, typ = m.group(1), m.group(2), m.group(3)
+        if alias not in GROK_PATTERNS:
+            raise ValueError(f"unknown grok alias %{{{alias}}}")
+        pat = GROK_PATTERNS[alias]
+        if name is None:
+            return f"(?:{pat})"
+        captures.append(Capture(name, typ or _GROK_TYPES.get(alias, "str")))
+        return f"(?P<{name}>{pat})"
+
+    pattern = _GROK_RE.sub(sub, grok)
+    return pattern, tuple(captures)
+
+
+def grok_rule(
+    name: str,
+    grok: str,
+    route: str | None = None,
+    prefilter: str | None = None,
+) -> Rule:
+    """Build a :class:`Rule` from grok syntax — the declarative form
+    log-pipeline users write; compiles down to the same typed-capture
+    regex machinery (and serializes through ``to_json`` as the expanded
+    rule)."""
+    pattern, captures = expand_grok(grok)
+    return Rule(
+        name=name,
+        pattern=pattern,
+        captures=captures,
+        route=route,
+        prefilter=prefilter,
+    )
 
 
 def _convert_capture(vals: pa.Array, cap: Capture) -> pa.Array:

@@ -195,7 +195,9 @@ def schema_rollup_partials(ds, route_col: str = "route", sample_per_batch: int =
         return pa.table({"route": pa.array(routes, pa.string()),
                          "node": pa.array(nodes, pa.string())})
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    from .._env import remote_env
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", **remote_env())
     merged: dict[str, TypeNode] = {}
     for row in partials.take_all():  # tiny: one row per (route, batch)
         node = _load_node(row["node"])

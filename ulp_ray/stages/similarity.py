@@ -24,8 +24,8 @@ from .._env import remote_env
 __all__ = ["ann_topk", "ann_topk_ivf", "build_ivf_codebook"]
 
 
-def _batch_vectors(batch: pa.Table, vec_col: str) -> np.ndarray:
-    flat = np.asarray(batch[vec_col].combine_chunks().flatten(), dtype=np.float32)
+def _batch_vectors(batch: pa.Table, vec_col: str, dtype=np.float32) -> np.ndarray:
+    flat = np.asarray(batch[vec_col].combine_chunks().flatten(), dtype=dtype)
     return flat.reshape(len(batch), -1)
 
 
@@ -43,16 +43,20 @@ def ann_topk(
     id_col: str = "vec_id",
 ) -> pa.Table:
     """Exact cosine top-k: returns ``(query_id, rank, vec_id, score)``,
-    rank 0 = best; deterministic tie-break by vec_id ascending."""
+    rank 0 = best; deterministic tie-break by vec_id ascending.
+
+    Math runs in float64 end-to-end (scores round to 6 decimals only in
+    the output column) so the ranking is reproducible against a float64
+    SQL oracle."""
     import ray
 
-    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
     q_ref = ray.put(q)
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        v = _normalize(_batch_vectors(batch, vec_col))
+        v = _normalize(_batch_vectors(batch, vec_col, dtype=np.float64))
         sims = qm @ v.T  # (n_queries, batch)
         kk = min(k, sims.shape[1])
         # argpartition then exact sort of the head — O(batch) per query
@@ -64,7 +68,7 @@ def ann_topk(
             sel = idx[order]
             rows["query_id"].extend([qi] * len(sel))
             rows[id_col].extend(ids[sel].tolist())
-            rows["score"].extend(np.round(sims[qi, sel].astype(np.float64), 6).tolist())
+            rows["score"].extend(sims[qi, sel].tolist())
         return pa.table(
             {
                 "query_id": pa.array(rows["query_id"], pa.int64()),
@@ -92,7 +96,7 @@ def ann_topk(
             out["query_id"].append(qi)
             out["rank"].append(r)
             out[id_col].append(-neg_id)
-            out["score"].append(score)
+            out["score"].append(round(score, 6))
     return pa.table(
         {
             "query_id": pa.array(out["query_id"], pa.int64()),
