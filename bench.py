@@ -94,6 +94,10 @@ def run_bench() -> dict:
         "exact_dedup_docs",
         "q1_lineitem",
         "windowed_counts_events",
+        "asof_purchase_signup",
+        "session_windows_events",
+        "turn_gaps_events",
+        "minhash_dedup_docs",
     ):
         if name not in qs:
             continue

@@ -93,3 +93,53 @@ def test_frame_sample_explodes():
     out = frame_sample(t, every_n_bytes=1024, max_frames=4)
     assert len(out) == 12  # 3 media × 4 frames
     assert out["frame_idx"].to_pylist() == [0, 1, 2, 3] * 3
+
+
+def test_lang_id_batch_matches_scalar_edge_cases():
+    """The vectorized lang-ID must be bit-identical to the scalar form,
+    including the empty/CJK/tie/und rules."""
+    from ulp_ray.functions.text import lang_id, lang_id_batch
+
+    cases = [
+        None,
+        "",
+        "   ",
+        "the cat sat on the mat and it was good for the dog",
+        "der hund ist nicht mit der katze und das ist ein problem",
+        "el perro y el gato en la casa de la abuela no se ven",
+        "le chien et le chat dans la maison de la grand-mere pour les",
+        "这是一个中文句子，包含很多汉字字符的测试文本",
+        "xyzzy plugh qwerty",          # no stopword hits -> und
+        "the der",                      # en/de tie -> en
+        "der el",                       # non-en tie -> lexicographic (de)
+        "a! b? c.",
+        "mix 中 of latin and 一点 cjk but below threshold " * 3,
+    ]
+    batch = lang_id_batch(pa.array(cases, pa.string())).to_pylist()
+    scalar = [lang_id(t or "") for t in cases]
+    assert batch == scalar
+
+
+def test_quality_features_match_python_reference():
+    """Vectorized stopword_ratio / mean_token_len equal the per-doc
+    Python formulas exactly (same float64 arithmetic)."""
+    from ulp_ray.functions.text import _LANG_STOPWORDS, quality_features
+
+    texts = [
+        None,
+        "",
+        "   ",
+        "the quick brown fox",
+        "on  double  spaces",
+        " leading and trailing ",
+        "xyzzy",
+        "the the the",
+    ]
+    q = quality_features(pa.array(texts, pa.string()))
+    stop = _LANG_STOPWORDS["en"]
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        want_sw = sum(1 for x in toks if x in stop) / len(toks) if toks else 0.0
+        want_ml = sum(len(x) for x in toks) / len(toks) if toks else 0.0
+        assert q["stopword_ratio"][i].as_py() == round(want_sw, 6)
+        assert q["mean_token_len"][i].as_py() == round(want_ml, 6)

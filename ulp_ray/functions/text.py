@@ -78,8 +78,64 @@ def lang_id(text: str) -> str:
     return "en" if "en" in winners else winners[0]
 
 
+def _row_sums(flat_vals: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Per-row sums of a flat per-token array given per-row token counts
+    (vectorized ``np.add.reduceat`` with empty-row handling)."""
+    out = np.zeros(len(lengths), dtype=np.int64)
+    nz = lengths > 0
+    if nz.any():
+        ends = np.cumsum(lengths)
+        starts = ends - lengths
+        out[nz] = np.add.reduceat(flat_vals.astype(np.int64), starts[nz])
+    return out
+
+
 def lang_id_batch(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
-    return pa.array([lang_id(t) for t in arr.to_pylist()], pa.string())
+    """Vectorized ``lang_id`` over an Arrow string column: one regex
+    split for the whole batch, one ``is_in`` per language profile,
+    per-row hit counts via reduceat, then the same CJK/tie rules as the
+    scalar form (bit-identical outputs)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    filled = pc.fill_null(arr, "")
+    n = len(filled)
+    n_chars = pc.utf8_length(filled).to_numpy(zero_copy_only=False).astype(np.int64)
+    cjk = (
+        pc.count_substring_regex(filled, "[一-鿿]")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    toks = pc.split_pattern_regex(pc.utf8_lower(filled), r"\W+")
+    lengths = (
+        pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    flat = pc.list_flatten(toks)
+    nonblank = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    n_toks = _row_sums(nonblank, lengths)
+    scores = {
+        lang: _row_sums(
+            pc.is_in(
+                flat, value_set=pa.array(sorted(words), pa.string())
+            ).to_numpy(zero_copy_only=False),
+            lengths,
+        )
+        for lang, words in _LANG_STOPWORDS.items()
+    }
+    best = np.maximum.reduce(list(scores.values()))
+    out = np.select(
+        [
+            n_chars == 0,
+            cjk / np.maximum(n_chars, 1) > 0.05,
+            n_toks == 0,
+            best == 0,
+            scores["en"] == best,
+            scores["de"] == best,  # non-en ties resolve lexicographically
+            scores["es"] == best,
+        ],
+        ["und", "zh", "und", "und", "en", "de", "es"],
+        default="fr",
+    )
+    return pa.array(out.tolist(), pa.string())
 
 
 def quality_features(batch_text: pa.Array | pa.ChunkedArray) -> pa.Table:
@@ -107,21 +163,28 @@ def quality_features(batch_text: pa.Array | pa.ChunkedArray) -> pa.Table:
         pc.cast(punct, pa.float64()),
         pc.cast(pc.max_element_wise(n_chars, 1), pa.float64()),
     )
-    # stopword ratio needs tokenization — python pass (documents are the
-    # cold column here; the hot transcript path never calls this)
-    stop = _LANG_STOPWORDS["en"]
-    sw = []
-    mean_len = []
-    for t in arr.to_pylist():
-        toks = (t or "").lower().split()
-        if not toks:
-            sw.append(0.0)
-            mean_len.append(0.0)
-            continue
-        sw.append(sum(1 for x in toks if x in stop) / len(toks))
-        mean_len.append(sum(len(x) for x in toks) / len(toks))
-    sw_arr = pa.array(sw, pa.float64())
-    ml_arr = pa.array(mean_len, pa.float64())
+    # stopword ratio + mean token length, vectorized: one whitespace
+    # split for the batch, one is_in over all tokens, per-row sums via
+    # reduceat (same values as the former per-doc Python loop)
+    filled = pc.fill_null(arr, "")
+    trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(filled))
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    lengths = (
+        pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    flat = pc.list_flatten(toks)
+    stop_arr = pa.array(sorted(_LANG_STOPWORDS["en"]), pa.string())
+    sw_sum = _row_sums(
+        pc.is_in(flat, value_set=stop_arr).to_numpy(zero_copy_only=False), lengths
+    )
+    len_sum = _row_sums(
+        pc.utf8_length(flat).to_numpy(zero_copy_only=False), lengths
+    )
+    # splitting "" yields one empty token — python .split() yields none
+    empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    denom = np.maximum(lengths, 1).astype(np.float64)
+    sw_arr = pa.array(np.where(empty, 0.0, sw_sum / denom), pa.float64())
+    ml_arr = pa.array(np.where(empty, 0.0, len_sum / denom), pa.float64())
     length_score = pc.min_element_wise(
         pc.divide(pc.cast(n_tokens, pa.float64()), 64.0), 1.0
     )

@@ -460,7 +460,7 @@ def _counts_to_table(counts_ds) -> pa.Table:
     )
 
 
-def _route_schema_partial(sink_dir: str, sample_rows: int = 64) -> dict[str, str]:
+def _route_schema_partial(sink_dir: str, sample_rows: int = 16) -> dict[str, str]:
     """One partition's (route → serialized TypeNode) map, inferred from a
     bounded row sample of each route's first sink file. O(routes) work per
     partition — the dynamic tree feeds only the sidecar metadata; the
