@@ -84,3 +84,40 @@ def test_approx_distinct_accuracy(ray_session):
     ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(8)
     est = approx_distinct(ds, "v")
     assert abs(est - 7919) / 7919 < 0.05
+
+
+def test_asof_join_null_keys_and_ts(ray_session):
+    """SQL asof semantics for nulls: null-key / null-ts LEFT rows appear
+    with null right columns; null-key / null-ts RIGHT rows never match
+    (merge_asof would otherwise match NaN to NaN or raise on NaT)."""
+    import numpy as np
+    import ray.data
+
+    from ulp_ray.stages.asof import asof_join
+
+    def ts(s):
+        return None if s is None else np.datetime64(f"2024-01-01T00:00:{s:02d}", "us")
+
+    left = pa.table(
+        {
+            "u": pa.array([1, 1, None, 2], pa.int64()),
+            "ts": pa.array([ts(10), None, ts(10), ts(10)]),
+            "lv": pa.array([0, 1, 2, 3], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "u": pa.array([1, None, 2, 2], pa.int64()),
+            "ts": pa.array([ts(5), ts(5), None, ts(7)]),
+            "rv": pa.array([100, 200, 300, 400], pa.int64()),
+        }
+    )
+    out = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), on="u", ts_col="ts"
+    ).to_pandas()
+    assert len(out) == 4  # every left row survives (LEFT join)
+    by_lv = out.set_index("lv")["rv"]
+    assert by_lv[0] == 100          # normal backward match
+    assert pd.isna(by_lv[1])        # null left ts -> no match
+    assert pd.isna(by_lv[2])        # null left key -> no match (NOT the null right row)
+    assert by_lv[3] == 400          # right null-ts row ignored, ts(7) wins

@@ -60,3 +60,18 @@ def test_ingest_writes_per_route_sidecars(ingested):
     with open(os.path.join(out_dir, "_schemas", "global.json")) as f:
         g = {x["name"]: x["type"] for x in json.load(f)["fields"]}
     assert g["amount"] == "int64"
+
+
+def test_ingest_rerun_overwrites_not_appends(ingested):
+    """Re-running the same ingest into the same out_dir must replace the
+    sinks, not append — the reference's re-ingest duplicates every doc
+    (elastic.rs:108)."""
+    out_dir, rows = ingested
+    # the fixture's ndjson dir is a sibling tmp dir (mktemp("ndjson"))
+    base = os.path.dirname(out_dir.rstrip("/"))
+    nd_dirs = [
+        os.path.join(base, d) for d in os.listdir(base) if d.startswith("ndjson")
+    ]
+    assert nd_dirs
+    ds2 = ingest_ndjson(nd_dirs[0], out_dir, route_template="evt_{{kind}}")
+    assert ds2.count() == len(rows)  # replaced, not doubled

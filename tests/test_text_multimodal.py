@@ -113,6 +113,8 @@ def test_lang_id_batch_matches_scalar_edge_cases():
         "the der",                      # en/de tie -> en
         "der el",                       # non-en tie -> lexicographic (de)
         "a! b? c.",
+        "f\u00fcr f\u00fcr das el la",     # accented de stopwords (Unicode \\W)
+        "para qu\u00e9 el d\u00eda de los", # accented es text
         "mix 中 of latin and 一点 cjk but below threshold " * 3,
     ]
     batch = lang_id_batch(pa.array(cases, pa.string())).to_pylist()
@@ -134,6 +136,8 @@ def test_quality_features_match_python_reference():
         " leading and trailing ",
         "xyzzy",
         "the the the",
+        "nb\u00a0space the fox",          # U+00A0 is whitespace to str.split()
+        "line\u2028sep of to",            # U+2028 too
     ]
     q = quality_features(pa.array(texts, pa.string()))
     stop = _LANG_STOPWORDS["en"]

@@ -179,6 +179,10 @@ class IndexPattern:
                         vals.append(r)
                     elif r is None:
                         vals.append("NONE")
+                    elif isinstance(r, bool):
+                        # match the Arrow-cast rendering of the flat path
+                        # ("true"/"false", not Python's "True"/"False")
+                        vals.append("true" if r else "false")
                     else:
                         vals.append(str(r))
                 return pa.array(vals, type=pa.string())

@@ -90,11 +90,20 @@ def _row_sums(flat_vals: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return out
 
 
+# RE2 equivalents of Python's Unicode-aware re classes (RE2's \w / \s are
+# ASCII-only): python \W == not [letters, digits, underscore] over Unicode
+# (str.isalnum ⇔ categories L*/N*), python str.split() whitespace ==
+# Unicode whitespace (Z* + the ASCII controls isspace() accepts)
+_RE2_NONWORD = r"[^\p{L}\p{N}_]+"
+_RE2_WHITESPACE = r"[\s\x{0B}\x{1C}-\x{1F}\x{85}\p{Z}]+"
+
+
 def lang_id_batch(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Vectorized ``lang_id`` over an Arrow string column: one regex
     split for the whole batch, one ``is_in`` per language profile,
     per-row hit counts via reduceat, then the same CJK/tie rules as the
-    scalar form (bit-identical outputs)."""
+    scalar form (bit-identical outputs, incl. accented stopwords —
+    the split class mirrors Python's Unicode ``\\W``)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     filled = pc.fill_null(arr, "")
@@ -105,7 +114,7 @@ def lang_id_batch(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
         .to_numpy(zero_copy_only=False)
         .astype(np.int64)
     )
-    toks = pc.split_pattern_regex(pc.utf8_lower(filled), r"\W+")
+    toks = pc.split_pattern_regex(pc.utf8_lower(filled), _RE2_NONWORD)
     lengths = (
         pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     )
@@ -165,26 +174,27 @@ def quality_features(batch_text: pa.Array | pa.ChunkedArray) -> pa.Table:
     )
     # stopword ratio + mean token length, vectorized: one whitespace
     # split for the batch, one is_in over all tokens, per-row sums via
-    # reduceat (same values as the former per-doc Python loop)
+    # reduceat (same values as the former per-doc Python loop; empty
+    # tokens from edge/repeated whitespace are excluded from every
+    # count, exactly like str.split())
     filled = pc.fill_null(arr, "")
-    trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(filled))
-    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    toks = pc.split_pattern_regex(pc.utf8_lower(filled), _RE2_WHITESPACE)
     lengths = (
         pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     )
     flat = pc.list_flatten(toks)
+    tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    nonblank = tok_lens > 0
     stop_arr = pa.array(sorted(_LANG_STOPWORDS["en"]), pa.string())
+    n_toks_real = _row_sums(nonblank, lengths)
     sw_sum = _row_sums(
         pc.is_in(flat, value_set=stop_arr).to_numpy(zero_copy_only=False), lengths
     )
-    len_sum = _row_sums(
-        pc.utf8_length(flat).to_numpy(zero_copy_only=False), lengths
-    )
-    # splitting "" yields one empty token — python .split() yields none
-    empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
-    denom = np.maximum(lengths, 1).astype(np.float64)
-    sw_arr = pa.array(np.where(empty, 0.0, sw_sum / denom), pa.float64())
-    ml_arr = pa.array(np.where(empty, 0.0, len_sum / denom), pa.float64())
+    len_sum = _row_sums(tok_lens, lengths)
+    denom = np.maximum(n_toks_real, 1).astype(np.float64)
+    has_toks = n_toks_real > 0
+    sw_arr = pa.array(np.where(has_toks, sw_sum / denom, 0.0), pa.float64())
+    ml_arr = pa.array(np.where(has_toks, len_sum / denom, 0.0), pa.float64())
     length_score = pc.min_element_wise(
         pc.divide(pc.cast(n_tokens, pa.float64()), 64.0), 1.0
     )

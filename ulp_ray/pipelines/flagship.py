@@ -529,7 +529,10 @@ def _write_merged_schemas(out_dir: str) -> None:
             merged[route] = merge_types(merged[route], node) if route in merged else node
     if not merged:
         return
+    # _schemas is derived data, rebuilt wholesale from the partials — a
+    # re-run whose route set shrank must not leave stale route sidecars
     schema_dir = os.path.join(out_dir, "_schemas")
+    shutil.rmtree(schema_dir, ignore_errors=True)
     global_node = None
     for route, node in sorted(merged.items()):
         struct = type_node_to_arrow(node)

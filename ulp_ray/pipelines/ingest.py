@@ -30,6 +30,7 @@ lattice only widens.
 from __future__ import annotations
 
 import os
+import shutil
 
 import pyarrow as pa
 
@@ -77,8 +78,12 @@ def ingest_ndjson(
     route_nodes = schema_rollup_partials(ds, "route", sample_per_batch)
     if not route_nodes:
         raise FileNotFoundError(f"no NDJSON records under {ndjson_glob!r}")
-    global_node = None
+    # deterministic overwrite: a re-run replaces, never appends — the
+    # reference's re-ingest duplicates every document (elastic.rs:108);
+    # stale sidecars from a previous route set are pruned the same way
     schema_dir = os.path.join(out_dir, "_schemas")
+    shutil.rmtree(schema_dir, ignore_errors=True)
+    global_node = None
     for route, node in sorted(route_nodes.items()):
         d = os.path.join(schema_dir, f"route={route}")
         os.makedirs(d, exist_ok=True)
@@ -90,9 +95,10 @@ def ingest_ndjson(
         fh.write(arrow_schema_to_json(target))
 
     # pass 2: cast every record to the merged schema and fan out
+    from ..stages.route import write_routed
+
     sink_dir = os.path.join(out_dir, "sinks")
+    shutil.rmtree(sink_dir, ignore_errors=True)
     normed = normalize_to_schema(ds, target)
-    normed.write_parquet(
-        sink_dir, partition_cols=["route"], ray_remote_args=remote_env()
-    )
+    write_routed(normed, sink_dir)
     return ray.data.read_parquet(sink_dir)

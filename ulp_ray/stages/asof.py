@@ -94,6 +94,13 @@ def asof_join(
         return t.append_column("__bucket", bucket_column(t, [on], buckets))
 
     def pad_right(batch: pa.Table) -> pa.Table:
+        # SQL asof semantics: a NULL key or NULL timestamp on the right
+        # can never satisfy the join inequality — drop those rows here
+        # (merge_asof would otherwise match NaN keys to NaN keys and
+        # raise on NaT timestamps)
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch[on]), pc.is_valid(batch[rts]))
+        )
         cols = {on: batch[on], "__ts": batch[rts]}
         for c in l_payload:
             cols[c] = pa.nulls(len(batch), type=types[c])
@@ -135,7 +142,13 @@ def asof_join(
         )
         if lg.empty:
             return out_schema.empty_table()
-        if rg.empty:
+        # left rows with a NULL timestamp never match (SQL inequality);
+        # they still appear in the LEFT join output with null rights —
+        # merge_asof raises on null on-keys, so route them around it
+        null_ts = lg["__ts"].isna()
+        lg_null = lg[null_ts]
+        lg = lg[~null_ts]
+        if rg.empty or lg.empty:
             out = lg.copy()
             for c in out_r_payload:
                 out[c] = None
@@ -147,6 +160,11 @@ def asof_join(
                 by=on,
                 direction=direction,
             )
+        if not lg_null.empty:
+            pad = lg_null.copy()
+            for c in out_r_payload:
+                pad[c] = None
+            out = pd.concat([out, pad], ignore_index=True)
         out = out.rename(columns={"__ts": ts_col})
         return _typed(out[[on, ts_col] + l_payload + out_r_payload])
 

@@ -428,38 +428,33 @@ def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
         all_toks = [tok for toks in tok_lists for tok in toks]
         if all_toks:
             h = _stable_u64(np.array(all_toks, dtype=object))
-            ends = np.cumsum(counts)
-            starts = ends - counts
-            i = 0
-            while i < ndocs:
-                # grow the doc window until the token budget is spent
-                # (keeps the sign matrix ≤ CHUNK×64 int32 ≈ 64 MiB)
-                j = i
-                tok_budget = 0
-                while j < ndocs and (
-                    j == i or tok_budget + counts[j] <= _SIMHASH_CHUNK_TOKENS
-                ):
-                    tok_budget += counts[j]
-                    j += 1
-                if tok_budget:
-                    hs = h[starts[i] : ends[j - 1]]
-                    signs = (
-                        ((hs[:, None] >> _SIMHASH_BITS[None, :]) & np.uint64(1))
-                        .astype(np.int32)
-                        * 2
-                        - 1
-                    )
-                    cnt = counts[i:j]
-                    nonempty = cnt > 0
-                    acc = np.zeros((j - i, 64), dtype=np.int32)
-                    if nonempty.any():
-                        idx = (starts[i:j] - starts[i])[nonempty]
-                        acc[nonempty] = np.add.reduceat(signs, idx, axis=0)
-                    pos = acc > 0
-                    out[i:j] = (pos.astype(np.uint64) << _SIMHASH_BITS[None, :]).sum(
-                        axis=1, dtype=np.uint64
-                    )
-                i = j
+            ntok = len(h)
+            doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+            acc = np.zeros((ndocs, 64), dtype=np.int64)
+            # flat token chunks (NOT doc-aligned): the sign matrix stays
+            # ≤ CHUNK×64 int32 even for a single multi-million-token doc;
+            # a doc spanning chunks accumulates partial bit sums (integer
+            # addition — order-independent, bit-identical)
+            for a in range(0, ntok, _SIMHASH_CHUNK_TOKENS):
+                b = min(a + _SIMHASH_CHUNK_TOKENS, ntok)
+                hs = h[a:b]
+                signs = (
+                    ((hs[:, None] >> _SIMHASH_BITS[None, :]) & np.uint64(1))
+                    .astype(np.int32)
+                    * 2
+                    - 1
+                )
+                di = doc_idx[a:b]
+                seg_starts = np.concatenate(
+                    [[0], np.flatnonzero(np.diff(di)) + 1]
+                )
+                seg = np.add.reduceat(signs, seg_starts, axis=0)
+                # within one chunk the segment targets are unique → +=
+                acc[di[seg_starts]] += seg
+            pos = acc > 0
+            out = (pos.astype(np.uint64) << _SIMHASH_BITS[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
         return pa.table({id_col: batch[id_col], "simhash": pa.array(out, pa.uint64())})
 
     return ds.map_batches(sig, batch_format="pyarrow", **remote_env())
@@ -545,10 +540,18 @@ def simhash_candidates(sig_ds, id_col: str = "doc_id", max_hamming: int = 3):
 
 
 def _normalized_matrix(
-    ds, vec_col: str, id_col: str, dtype=np.float64
-) -> tuple[np.ndarray, np.ndarray]:
+    ds, vec_col: str, id_col: str, dtype=np.float64, max_rows: int | None = None
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Driver-side (ids, row-normalized matrix). With ``max_rows`` set,
+    returns None as soon as the row count exceeds it — the caller falls
+    back to the LSH path without a second pipeline execution (a
+    ``ds.count()`` pre-check would re-run any upstream transforms)."""
     ids, rows = [], []
+    total = 0
     for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        total += len(batch)
+        if max_rows is not None and total > max_rows:
+            return None
         ids.append(batch[id_col].to_numpy(zero_copy_only=False))
         flat = np.asarray(batch[vec_col].combine_chunks().flatten(), dtype=dtype)
         rows.append(flat.reshape(len(batch), -1))
@@ -575,11 +578,13 @@ def embedding_neardup(
 
     Above the bound this auto-routes to :func:`embedding_neardup_lsh`
     (random-hyperplane bucketing; recall < 1 by construction) — the scale
-    path never materializes the corpus matrix on the driver."""
+    path never materializes the corpus matrix on the driver. The bound is
+    enforced DURING the single materialization pass (no separate count
+    execution)."""
     import ray
 
-    n_rows = ds.count()
-    if n_rows > max_exact_rows:
+    got = _normalized_matrix(ds, vec_col, id_col, max_rows=max_exact_rows)
+    if got is None:  # over the exact-path bound → LSH scale path
         rows = embedding_neardup_lsh(
             ds, vec_col=vec_col, id_col=id_col, threshold=threshold
         ).take_all()
@@ -587,7 +592,7 @@ def embedding_neardup(
             [("id_a", "ascending"), ("id_b", "ascending")]
         )
 
-    all_ids, mat = _normalized_matrix(ds, vec_col, id_col)
+    all_ids, mat = got
     mat_ref = ray.put((all_ids, mat))
 
     def block_pairs(batch: pa.Table) -> pa.Table:

@@ -16,31 +16,18 @@ version); a re-run overwrites the same paths (see
 
 from __future__ import annotations
 
-import json
-import os
-
-import pyarrow as pa
-
-from ..functions.schema_merge import arrow_schema_to_json
-
-__all__ = ["write_routed", "write_sink_schemas"]
+__all__ = ["write_routed"]
 
 
 def write_routed(ds, out_dir: str, route_col: str = "route") -> None:
-    """Partitioned write: ``out_dir/route=<value>/*.parquet``."""
-    ds.write_parquet(out_dir, partition_cols=[route_col])
+    """Partitioned write: ``out_dir/route=<value>/*.parquet``.
 
+    Schema sidecars are written by the pipelines from the merged
+    per-route TypeNodes (``flagship._write_merged_schemas`` /
+    ``ingest.ingest_ndjson``) — each route's ``_schema.json`` reflects
+    that route's own captures."""
+    from .._env import remote_env
 
-def write_sink_schemas(out_dir: str, schema: pa.Schema, routes: list[str]) -> None:
-    """Write each sink's Arrow schema sidecar (ES-mapping analog).
-
-    The routed files share one physical schema (the parse stage emits the
-    union capture schema; absent captures are null) — the sidecar records
-    it per route so downstream consumers of a single sink need not list
-    the others."""
-    payload = arrow_schema_to_json(schema)
-    for route in routes:
-        d = os.path.join(out_dir, f"route={route}")
-        os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, "_schema.json"), "w") as f:
-            f.write(payload)
+    ds.write_parquet(
+        out_dir, partition_cols=[route_col], ray_remote_args=remote_env()
+    )
