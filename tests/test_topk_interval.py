@@ -1,0 +1,149 @@
+"""Grouped top-k, grouped quantile, and the interval (range) join — unit
+tests vs pandas/numpy oracles, including many-distinct-key shapes."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ulp_ray.stages.aggregate import grouped_quantile, grouped_topk
+from ulp_ray.stages.interval import interval_join
+
+
+@pytest.fixture(scope="module")
+def values(ray_session):
+    rng = np.random.default_rng(3)
+    n = 20_000
+    return pa.table(
+        {
+            "grp": pa.array(rng.integers(0, 50, n), pa.int64()),
+            "row_id": pa.array(np.arange(n), pa.int64()),
+            "v": pa.array(rng.random(n) * 100.0, pa.float64()),
+        }
+    )
+
+
+def test_grouped_topk_matches_pandas(values):
+    import ray.data
+
+    out = (
+        grouped_topk(
+            ray.data.from_arrow(values), ["grp"], "v", k=3, tie_cols=["row_id"]
+        )
+        .to_pandas()
+        .sort_values(["grp", "v", "row_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    df = values.to_pandas()
+    want = (
+        df.sort_values(["grp", "v", "row_id"], ascending=[True, False, True])
+        .groupby("grp", sort=True)
+        .head(3)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[want.columns.tolist()], want)
+    assert len(out) == 150
+
+
+def test_grouped_topk_ties_deterministic(ray_session):
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "grp": pa.array([0] * 5, pa.int64()),
+            "row_id": pa.array([5, 3, 1, 4, 2], pa.int64()),
+            "v": pa.array([1.0, 1.0, 1.0, 1.0, 1.0], pa.float64()),
+        }
+    )
+    out = grouped_topk(
+        ray.data.from_arrow(tbl), ["grp"], "v", k=2, tie_cols=["row_id"]
+    ).to_pandas()
+    assert sorted(out["row_id"]) == [1, 2]  # smallest row_ids win ties
+
+
+def test_grouped_quantile_quantile_cont_semantics(values):
+    import ray.data
+
+    out = (
+        grouped_quantile(ray.data.from_arrow(values), ["grp"], "v", 0.5)
+        .to_pandas()
+        .set_index("grp")["q0.5"]
+    )
+    df = values.to_pandas()
+    for grp, g in df.groupby("grp"):
+        s = np.sort(g["v"].to_numpy())
+        pos = 0.5 * (len(s) - 1)
+        lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+        want = s[lo] + (s[hi] - s[lo]) * (pos - lo)
+        assert out[grp] == want
+
+
+def test_interval_join_matches_pandas(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(9)
+    n_l, n_r = 5_000, 2_000
+    base = np.datetime64("2024-01-01", "us")
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 300, n_l), pa.int64()),
+            "eid": pa.array(np.arange(n_l), pa.int64()),
+            "ts": pa.array(
+                base + rng.integers(0, 10_000_000_000, n_l).astype("timedelta64[us]")
+            ),
+        }
+    )
+    starts = base + rng.integers(0, 10_000_000_000, n_r).astype("timedelta64[us]")
+    right = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 300, n_r), pa.int64()),
+            "iid": pa.array(np.arange(n_r), pa.int64()),
+            "iv_start": pa.array(starts),
+            "iv_end": pa.array(starts + np.timedelta64(600_000_000, "us")),
+        }
+    )
+    out = interval_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        on="k",
+        ts_col="ts",
+        start_col="iv_start",
+        end_col="iv_end",
+    ).to_pandas()
+    want = left.to_pandas().merge(right.to_pandas(), on="k")
+    want = want[(want["ts"] >= want["iv_start"]) & (want["ts"] <= want["iv_end"])]
+    key = ["eid", "iid"]
+    got_pairs = set(map(tuple, out[key].to_numpy()))
+    want_pairs = set(map(tuple, want[key].to_numpy()))
+    assert got_pairs == want_pairs
+    assert len(out) == len(want) > 0
+
+
+def test_interval_join_null_rows_dropped(ray_session):
+    import ray.data
+
+    base = np.datetime64("2024-01-01", "us")
+    left = pa.table(
+        {
+            "k": pa.array([1, None], pa.int64()),
+            "eid": pa.array([0, 1], pa.int64()),
+            "ts": pa.array([base, base]),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, None], pa.int64()),
+            "iid": pa.array([0, 1], pa.int64()),
+            "iv_start": pa.array([base - np.timedelta64(1, "s"), base]),
+            "iv_end": pa.array([base + np.timedelta64(1, "s"), base]),
+        }
+    )
+    out = interval_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        on="k",
+        ts_col="ts",
+        start_col="iv_start",
+        end_col="iv_end",
+    ).to_pandas()
+    assert out["eid"].tolist() == [0]  # null keys never match (SQL join)

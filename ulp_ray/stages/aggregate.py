@@ -28,7 +28,15 @@ from ..functions.schema_merge import (
     infer_type,
 )
 
-__all__ = ["count_rollup", "partial_counts_fn", "sum_rollup", "salted_sum", "schema_rollup_partials"]
+__all__ = [
+    "count_rollup",
+    "partial_counts_fn",
+    "sum_rollup",
+    "salted_sum",
+    "schema_rollup_partials",
+    "grouped_topk",
+    "grouped_quantile",
+]
 
 
 def partial_counts_fn(keys: Sequence[str]):
@@ -166,6 +174,104 @@ def salted_sum(ds, keys: Sequence[str], value_col: str, salt: int = 64):
         .aggregate(Sum(value_col, alias_name=value_col))
     )
     return phase1.groupby(key_list).aggregate(Sum(value_col, alias_name=value_col))
+
+
+def grouped_topk(
+    ds,
+    keys: Sequence[str],
+    value_col: str,
+    k: int,
+    tie_cols: Sequence[str] = (),
+    descending: bool = True,
+    driver_fold_max_rows: int = 2_000_000,
+):
+    """Top-k rows per key group (e.g. "3 highest-value events per type").
+
+    Same partial-combine shape as :func:`count_rollup`: every block
+    reduces to ≤ k rows per key (one C-level sort + ``groupby.head``, no
+    per-key Python), the O(keys × k × blocks) partials materialize, and
+    the identical fold runs once more over them (driver below the
+    threshold, per-key ``map_groups`` over the already-reduced partials
+    above it). Ties break by ``tie_cols`` ascending — pass enough for a
+    deterministic result.
+    """
+    import pandas as pd
+    import ray
+
+    from .._env import remote_env
+
+    key_list = list(keys)
+    sort_cols = key_list + [value_col] + list(tie_cols)
+    ascending = [True] * len(key_list) + [not descending] + [True] * len(tie_cols)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.sort_values(sort_cols, ascending=ascending, kind="stable")
+            .groupby(key_list, sort=False, dropna=False)
+            .head(k)
+        )
+        return out
+
+    partials = ds.map_batches(
+        local_topk, batch_format="pandas", batch_size=None, **remote_env()
+    ).materialize()
+    if partials.count() > driver_fold_max_rows:
+        return partials.groupby(key_list).map_groups(
+            local_topk, batch_format="pandas", **remote_env()
+        )
+    tbl = partials.to_pandas()
+    return ray.data.from_pandas(local_topk(tbl).reset_index(drop=True))
+
+
+def grouped_quantile(
+    ds,
+    keys: Sequence[str],
+    value_col: str,
+    q: float,
+    out_col: str | None = None,
+):
+    """Exact grouped continuous quantile (``quantile_cont`` semantics:
+    linear interpolation at ``pos = q·(n−1)`` over the sorted non-null
+    values).
+
+    Shuffles the (keys, value) pairs — column-pruned, so the exchange
+    moves two columns, not whole rows — and computes one vectorized
+    quantile per group. Exactness requires each group's values together
+    (quantiles don't decompose into mergeable partials); this is the
+    bounded-key-count op (per event type / route / tenant). For huge key
+    spaces use a mergeable sketch instead (see ``stages/sketch.py`` for
+    the pattern).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .._env import remote_env
+
+    key_list = list(keys)
+    name = out_col or f"q{q}"
+
+    def one_group(g: pd.DataFrame) -> pd.DataFrame:
+        vals = np.sort(g[value_col].to_numpy(dtype=np.float64))
+        vals = vals[~np.isnan(vals)]
+        head = g.head(1)[key_list].reset_index(drop=True)
+        if len(vals) == 0:
+            head[name] = np.nan
+            return head
+        pos = q * (len(vals) - 1)
+        lo = int(np.floor(pos))
+        hi = int(np.ceil(pos))
+        f = pos - lo
+        head[name] = vals[lo] + (vals[hi] - vals[lo]) * f
+        return head
+
+    pruned = ds.map_batches(
+        lambda t: t.select(key_list + [value_col]),
+        batch_format="pyarrow",
+        **remote_env(),
+    )
+    return pruned.groupby(key_list).map_groups(
+        one_group, batch_format="pandas", **remote_env()
+    )
 
 
 def schema_rollup_partials(ds, route_col: str = "route", sample_per_batch: int = 64):
