@@ -216,8 +216,23 @@ def grouped_topk(
         local_topk, batch_format="pandas", batch_size=None, **remote_env()
     ).materialize()
     if partials.count() > driver_fold_max_rows:
-        return partials.groupby(key_list).map_groups(
-            local_topk, batch_format="pandas", **remote_env()
+        # co-group partials by key-hash bucket: the in-bucket fold is the
+        # same C-level sort+head over all of the bucket's keys at once
+        from ._bucket import bucket_column
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__bucket", bucket_column(batch, key_list, 256)
+            )
+
+        return (
+            partials.map_batches(add_bucket, batch_format="pyarrow", **remote_env())
+            .groupby("__bucket")
+            .map_groups(
+                lambda g: local_topk(g).drop(columns="__bucket"),
+                batch_format="pandas",
+                **remote_env(),
+            )
         )
     tbl = partials.to_pandas()
     return ray.data.from_pandas(local_topk(tbl).reset_index(drop=True))
@@ -235,42 +250,39 @@ def grouped_quantile(
     values).
 
     Shuffles the (keys, value) pairs — column-pruned, so the exchange
-    moves two columns, not whole rows — and computes one vectorized
-    quantile per group. Exactness requires each group's values together
-    (quantiles don't decompose into mergeable partials); this is the
-    bounded-key-count op (per event type / route / tenant). For huge key
-    spaces use a mergeable sketch instead (see ``stages/sketch.py`` for
-    the pattern).
+    moves two columns, not whole rows — co-grouped by key-hash bucket;
+    each bucket computes ALL of its groups' quantiles with one C-level
+    ``pandas.groupby().quantile`` (linear interpolation — the same
+    formula as DuckDB's, verified equal). Exactness requires each
+    group's values together (quantiles don't decompose into mergeable
+    partials) — a single giant group still concentrates its bucket; use
+    a mergeable sketch for that shape (see ``stages/sketch.py``).
     """
-    import numpy as np
     import pandas as pd
 
     from .._env import remote_env
+    from ._bucket import bucket_column
 
     key_list = list(keys)
     name = out_col or f"q{q}"
 
-    def one_group(g: pd.DataFrame) -> pd.DataFrame:
-        vals = np.sort(g[value_col].to_numpy(dtype=np.float64))
-        vals = vals[~np.isnan(vals)]
-        head = g.head(1)[key_list].reset_index(drop=True)
-        if len(vals) == 0:
-            head[name] = np.nan
-            return head
-        pos = q * (len(vals) - 1)
-        lo = int(np.floor(pos))
-        hi = int(np.ceil(pos))
-        f = pos - lo
-        head[name] = vals[lo] + (vals[hi] - vals[lo]) * f
-        return head
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.select(key_list + [value_col])
+        return batch.append_column("__bucket", bucket_column(batch, key_list, 256))
 
-    pruned = ds.map_batches(
-        lambda t: t.select(key_list + [value_col]),
-        batch_format="pyarrow",
-        **remote_env(),
-    )
-    return pruned.groupby(key_list).map_groups(
-        one_group, batch_format="pandas", **remote_env()
+    def bucket_quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(key_list, sort=True, dropna=False)[value_col]
+            .quantile(q, interpolation="linear")
+            .reset_index()
+            .rename(columns={value_col: name})
+        )
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", **remote_env())
+        .groupby("__bucket")
+        .map_groups(bucket_quantiles, batch_format="pandas", **remote_env())
     )
 
 

@@ -107,10 +107,22 @@ def conversation_stats(ds, driver_fold_max_rows: int = 2_000_000):
             ).empty_table()
             return ray.data.from_arrow(empty)
         return ray.data.from_arrow(finalize(pa.concat_tables(batches)))
-    # distributed fold: group the partials themselves (still pre-combined
-    # per block, so a hot conv contributes ≤ #blocks partial rows)
-    return partials.groupby("conv_id").map_groups(
-        lambda g: finalize(g), batch_format="pyarrow", **remote_env()
+    # distributed fold: co-group the partials by hash bucket (a hot conv
+    # contributes ≤ #blocks partial rows; finalize's pyarrow group_by is
+    # C-level over the whole bucket — no per-conv Python)
+    from ._bucket import bucket_column
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__bucket", bucket_column(batch, ["conv_id"], 256))
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pyarrow", **remote_env())
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: finalize(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+            **remote_env(),
+        )
     )
 
 

@@ -64,27 +64,29 @@ def _stable_u64(arr: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(ds, on: str, order_col: str):
+def exact_dedup(ds, on: str, order_col: str, buckets: int = 256):
     """Exact dedup: keep, for each distinct ``on`` value, the row with the
     minimum ``order_col`` (deterministic winner).
 
     Two-phase: a vectorized content-hash column is added per batch, the
-    shuffle groups by the 64-bit hash (fixed-width key, never the payload
-    ordering problem of grouping raw text), and the per-group pandas step
-    resolves hash collisions by grouping on the actual value.
-    """
+    shuffle co-groups by ``hash % buckets`` (fixed-width key, never the
+    payload — and ~``buckets`` Python callbacks total, NOT one per
+    distinct value), and the per-bucket pandas step resolves everything
+    with one C-level sort + groupby-head on the actual values (which also
+    makes 64-bit hash collisions harmless)."""
 
-    def add_hash(batch: pa.Table) -> pa.Table:
+    def add_bucket(batch: pa.Table) -> pa.Table:
         vals = batch[on].to_numpy(zero_copy_only=False)
-        return batch.append_column("__h", pa.array(_stable_u64(vals)))
+        h = _stable_u64(vals) % np.uint64(buckets)
+        return batch.append_column("__b", pa.array(h.astype(np.int64)))
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.sort_values(order_col).groupby(on, sort=False).head(1)
-        return out.drop(columns="__h")
+        out = g.sort_values(order_col, kind="stable").groupby(on, sort=False).head(1)
+        return out.drop(columns="__b")
 
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow", **remote_env())
-        .groupby("__h")
+        ds.map_batches(add_bucket, batch_format="pyarrow", **remote_env())
+        .groupby("__b")
         .map_groups(keep_first, batch_format="pandas", **remote_env())
     )
 
