@@ -6,6 +6,9 @@ one resumable command, suitable for ``ray job submit``:
     python -m ulp_ray run    --input '<dir-or-glob>' --out /path/run1
     python -m ulp_ray resume --out /path/run1 --input '<dir-or-glob>'
     python -m ulp_ray counts --out /path/run1        # print the rollup
+    python -m ulp_ray ingest --input 'job/*.data' --out /path/ingest1 \
+        --route-template 'evt_{{kind}}'              # ulp NDJSON interop
+    python -m ulp_ray compact --out /path/run1       # merge small sink files
 
 ``resume`` is ``run`` with the checkpoint scan enabled by default —
 completed partitions (per ``_manifest/partition=<i>.json``) are skipped;
@@ -62,14 +65,49 @@ def main(argv: list[str] | None = None) -> int:
             help="JSON rule-registry file (default: built-in transcript rules)",
         )
 
-    add_common(sub.add_parser("run", help="run the flagship pipeline (fresh)"))
-    add_common(sub.add_parser("resume", help="resume, skipping completed partitions"))
+    sp = sub.add_parser("run", help="run the flagship pipeline (fresh)")
+    add_common(sp)
+    sp.add_argument("--text-col", default="text", help="column the rules parse")
+    sp = sub.add_parser("resume", help="resume, skipping completed partitions")
+    add_common(sp)
+    sp.add_argument("--text-col", default="text", help="column the rules parse")
     sp = sub.add_parser("counts", help="print the rollup of a finished run")
     sp.add_argument("--out", required=True)
     sp = sub.add_parser("audit", help="verify a run's lineage reconciles")
     sp.add_argument("--out", required=True)
+    sp = sub.add_parser(
+        "ingest", help="two-phase NDJSON ingest (ulp .data interop)"
+    )
+    sp.add_argument("--input", required=True, help="NDJSON dir or glob")
+    sp.add_argument("--out", required=True, help="ingest output directory")
+    sp.add_argument(
+        "--route-template",
+        required=True,
+        help="index-pattern route template, e.g. 'evt_{{kind}}'",
+    )
+    sp.add_argument("--num-cpus", type=int, default=None)
+    sp = sub.add_parser("compact", help="merge a finished run's small sink files")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--target-rows", type=int, default=1_000_000)
 
     args = p.parse_args(argv)
+
+    if args.cmd == "compact":
+        from ulp_ray.stages.compact import compact_run
+
+        print(json.dumps(compact_run(args.out, target_rows=args.target_rows)))
+        return 0
+
+    if args.cmd == "ingest":
+        _init_ray(args.num_cpus)
+        from ulp_ray.pipelines.ingest import ingest_ndjson
+
+        out_ds = ingest_ndjson(args.input, args.out, args.route_template)
+        print(json.dumps({"out_dir": args.out, "rows": out_ds.count()}))
+        import ray
+
+        ray.shutdown()
+        return 0
 
     if args.cmd == "audit":
         from ulp_ray.state.audit import audit_run
@@ -105,6 +143,7 @@ def main(argv: list[str] | None = None) -> int:
         partitions=args.partitions,
         resume=(args.cmd == "resume"),
         enrich_compute=args.enrich_compute,
+        text_col=args.text_col,
     )
     print(
         json.dumps(

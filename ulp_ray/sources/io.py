@@ -53,7 +53,9 @@ def read_ndjson(path_or_glob: str):
     )
     if not files:
         raise FileNotFoundError(path_or_glob)
-    return ray.data.read_json(files)
+    # extension filter off: ulp's artifacts are `.data` files
+    # (src/evtx.rs:28-34), which Ray's default json extension list rejects
+    return ray.data.read_json(files, file_extensions=None)
 
 
 def write_ndjson(ds, out_dir: str) -> None:
