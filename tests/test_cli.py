@@ -69,6 +69,11 @@ def test_cli_ingest_and_compact(tmp_path):
     assert r["rows"] == 2
     assert os.path.isdir(os.path.join(out_dir, "sinks", "route=evt_alpha"))
 
+    # compact understands the ingest layout too (sinks/route=* without a
+    # partition level)
+    rep = json.loads(_cli("compact", "--out", out_dir))
+    assert os.path.join("sinks", "route=evt_alpha") in rep
+
     # compact is a no-op shape check here (flagship layout), just verify
     # the subcommand runs and reports
     run_dir = tmp_path / "run"

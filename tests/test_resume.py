@@ -147,3 +147,32 @@ def test_audit_run_passes_and_detects_tampering(ray_session, data_dir, tmp_path_
         audit_run(out)
     report2 = audit_run(out, strict=False)
     assert not report2["ok"] and any("sink rows" in p for p in report2["problems"])
+
+
+def test_text_col_change_invalidates_checkpoints(ray_session, tmp_path_factory):
+    """Resuming with a different parse column must recompute every
+    partition (text_col is part of the checkpoint fingerprint)."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from ulp_ray.pipelines.flagship import run_pipeline
+
+    d = str(tmp_path_factory.mktemp("tc_in"))
+    tbl = pa2.table(
+        {
+            "conv_id": pa2.array(["c"] * 8, pa2.string()),
+            "turn_idx": pa2.array(range(8), pa2.int32()),
+            "role": pa2.array(["user"] * 8, pa2.string()),
+            "text": pa2.array(["status=ok at 2024-01-01T00:00:00+00:00 items=1"] * 8),
+            "alt": pa2.array(["Calling tool bash with args path=/x timeout=5"] * 8),
+            "tool": pa2.array([None] * 8, pa2.string()),
+            "ts": pa2.array([0] * 8, pa2.timestamp("us")),
+        }
+    )
+    pq2.write_table(tbl, os.path.join(d, "part-0.parquet"))
+    out = str(tmp_path_factory.mktemp("tc_run"))
+    r1 = run_pipeline(d, out, partitions=1, resume=False)
+    assert {r["rule"] for r in r1.counts.to_pylist()} == {"status"}
+    r2 = run_pipeline(d, out, partitions=1, resume=True, text_col="alt")
+    assert r2.partitions_skipped == 0 and r2.partitions_run == 1
+    assert {r["rule"] for r in r2.counts.to_pylist()} == {"tool_call"}

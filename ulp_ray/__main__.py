@@ -64,13 +64,12 @@ def main(argv: list[str] | None = None) -> int:
             default=None,
             help="JSON rule-registry file (default: built-in transcript rules)",
         )
+        sp.add_argument(
+            "--text-col", default="text", help="column the rules parse"
+        )
 
-    sp = sub.add_parser("run", help="run the flagship pipeline (fresh)")
-    add_common(sp)
-    sp.add_argument("--text-col", default="text", help="column the rules parse")
-    sp = sub.add_parser("resume", help="resume, skipping completed partitions")
-    add_common(sp)
-    sp.add_argument("--text-col", default="text", help="column the rules parse")
+    add_common(sub.add_parser("run", help="run the flagship pipeline (fresh)"))
+    add_common(sub.add_parser("resume", help="resume, skipping completed partitions"))
     sp = sub.add_parser("counts", help="print the rollup of a finished run")
     sp.add_argument("--out", required=True)
     sp = sub.add_parser("audit", help="verify a run's lineage reconciles")

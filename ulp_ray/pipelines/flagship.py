@@ -115,12 +115,13 @@ def run_pipeline(
 ) -> PipelineResult:
     """Run (or resume) the flagship pipeline over Parquet transcript files.
 
-    ``text_col`` selects the column the rule registry parses; ``pre_fn``
-    (optional pyarrow batch fn) runs right after the read — e.g. to derive
-    the ``role``/``tool`` columns the enrich stage expects from a
-    non-transcript table. Note: ``pre_fn`` is NOT part of the checkpoint
-    fingerprint (the registry version is) — changing it between runs of
-    the same out_dir requires ``resume=False``.
+    ``text_col`` selects the column the rule registry parses (part of the
+    checkpoint fingerprint — a resume with a different column recomputes);
+    ``pre_fn`` (optional pyarrow batch fn) runs right after the read —
+    e.g. to derive the ``role``/``tool`` columns the enrich stage expects
+    from a non-transcript table. Note: ``pre_fn`` is NOT fingerprintable
+    (it's an arbitrary callable) — changing it between runs of the same
+    out_dir requires ``resume=False``.
 
     ``out_dir`` layout is the durable contract (SURVEY.md §7.5)::
 
@@ -163,6 +164,7 @@ def run_pipeline(
         i: m
         for i, m in completed.items()
         if m.registry_version == registry.version
+        and m.text_col == text_col
         and i < partitions
         and sorted(m.input_fragments) == sorted(groups[i])
         and _outputs_exist(i, m)
@@ -280,6 +282,7 @@ def run_pipeline(
             ),
             duration_s=round(time.monotonic() - t0, 3),
             registry_version=registry.version,
+            text_col=text_col,
         )
         m.write(out_dir)
         manifests.append(m)

@@ -42,19 +42,29 @@ def read_transcripts(path_or_glob: str, columns: list[str] | None = None):
     )
 
 
+_NDJSON_EXTS = (".data", ".json", ".jsonl", ".ndjson")
+
+
 def read_ndjson(path_or_glob: str):
-    """Line-delimited JSON source (ulp's intermediate format)."""
+    """Line-delimited JSON source (ulp's intermediate format).
+
+    A directory reads only NDJSON-suffixed files (incl. ulp's ``.data``,
+    ``src/evtx.rs:28-34`` — stray lock/sidecar files must not pollute the
+    schema fold); an explicit glob is taken verbatim (the user named the
+    files). Ray's own json extension filter is off either way — it would
+    reject ``.data``."""
     import ray
 
-    files = (
-        sorted(globmod.glob(os.path.join(path_or_glob, "*")))
-        if os.path.isdir(path_or_glob)
-        else sorted(globmod.glob(path_or_glob))
-    )
+    if os.path.isdir(path_or_glob):
+        files = sorted(
+            f
+            for f in globmod.glob(os.path.join(path_or_glob, "*"))
+            if f.endswith(_NDJSON_EXTS)
+        )
+    else:
+        files = sorted(globmod.glob(path_or_glob))
     if not files:
         raise FileNotFoundError(path_or_glob)
-    # extension filter off: ulp's artifacts are `.data` files
-    # (src/evtx.rs:28-34), which Ray's default json extension list rejects
     return ray.data.read_json(files, file_extensions=None)
 
 

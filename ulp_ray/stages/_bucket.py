@@ -22,7 +22,13 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["hash_u64", "key_hash_u64", "combine_hash", "bucket_column"]
+__all__ = [
+    "hash_u64",
+    "key_hash_u64",
+    "combine_hash",
+    "bucket_column",
+    "arrow_type_of",
+]
 
 _HASH_KEY = "ulp_ray_bucket16"  # pd.util.hash_array key (exactly 16 bytes)
 _FNV = np.uint64(1099511628211)
@@ -64,6 +70,18 @@ def key_hash_u64(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
 def combine_hash(h: np.ndarray, hc: np.ndarray) -> np.ndarray:
     """Order-sensitive combine of two hash streams (uint64 wraparound)."""
     return h * _FNV + hc
+
+
+def arrow_type_of(t) -> pa.DataType:
+    """Coerce a Dataset.schema() entry (Arrow type OR numpy dtype,
+    depending on the upstream op) to an Arrow type — shared by the
+    co-grouping joins that pad both sides to a union schema."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(np.dtype(t))
+    except (pa.ArrowNotImplementedError, TypeError):
+        return pa.string()
 
 
 def bucket_column(

@@ -58,19 +58,11 @@ def asof_join(
             f"even after suffix {suffix!r} — rename before joining"
         )
 
-    def _arrow_type(t):
-        import numpy as np
+    from ._bucket import arrow_type_of
 
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(np.dtype(t))
-        except (pa.ArrowNotImplementedError, TypeError):
-            return pa.string()
-
-    types = {n: _arrow_type(t) for n, t in zip(lschema.names, lschema.types)}
+    types = {n: arrow_type_of(t) for n, t in zip(lschema.names, lschema.types)}
     for n, t in zip(rschema.names, rschema.types):
-        types[rename_map.get(n, n)] = _arrow_type(t)
+        types[rename_map.get(n, n)] = arrow_type_of(t)
     # unified layout: on, ts, left payload, renamed right payload, side tag
     l_payload = [c for c in lcols if c not in (on, ts_col)]
     out_r_payload = [rename_map[c] for c in r_payload]

@@ -77,22 +77,23 @@ def compact_route(route_dir: str, target_rows: int = 1_000_000) -> int:
 
 
 def compact_run(run_dir: str, target_rows: int = 1_000_000) -> dict[str, int]:
-    """Compact every ``sinks/partition=*/route=*`` directory of a run."""
+    """Compact every route directory of a run — both the flagship layout
+    (``sinks/partition=*/route=*``) and the ingest layout
+    (``sinks/route=*``)."""
+    patterns = [
+        os.path.join(run_dir, "sinks", "partition=*", "route=*"),
+        os.path.join(run_dir, "sinks", "route=*"),
+    ]
     out: dict[str, int] = {}
     # recover mid-swap crashes FIRST: a crash between the two os.replace
     # calls leaves only route=<x>.pre-compact (the live dir is gone), and
     # the loop below never visits the missing route dir — restore it here
-    for backup in sorted(
-        globmod.glob(
-            os.path.join(run_dir, "sinks", "partition=*", "route=*.pre-compact")
-        )
-    ):
-        live = backup[: -len(".pre-compact")]
-        if not os.path.isdir(live):
-            os.replace(backup, live)
-    for route_dir in sorted(
-        globmod.glob(os.path.join(run_dir, "sinks", "partition=*", "route=*"))
-    ):
+    for pat in patterns:
+        for backup in sorted(globmod.glob(pat + ".pre-compact")):
+            live = backup[: -len(".pre-compact")]
+            if not os.path.isdir(live):
+                os.replace(backup, live)
+    for route_dir in sorted(d for pat in patterns for d in globmod.glob(pat)):
         # skip crash debris (handled inside compact_route's recovery)
         if route_dir.endswith(".pre-compact") or route_dir.endswith(".compact.tmp"):
             continue

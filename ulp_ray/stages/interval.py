@@ -40,6 +40,8 @@ def interval_join(
 ):
     """Inner interval-containment join; returns left columns + the
     matching right columns (callers must pre-rename collisions)."""
+    from ._bucket import arrow_type_of
+
     lcols = list(left.schema().names)
     rcols = list(right.schema().names)
     overlap = (set(lcols) & set(rcols)) - {on}
@@ -47,8 +49,17 @@ def interval_join(
         raise ValueError(
             f"overlapping non-key columns {sorted(overlap)}: rename before joining"
         )
+    l_only = [c for c in lcols if c != on]
+    r_only = [c for c in rcols if c != on]
+    ltypes = dict(zip(left.schema().names, left.schema().types))
+    rtypes = dict(zip(right.schema().names, right.schema().types))
+    types = {c: arrow_type_of(t) for c, t in {**ltypes, **rtypes}.items()}
+    out_cols = [on] + l_only + r_only
 
-    def tag(side: str):
+    def tag_and_pad(side: str):
+        """One pass per side: null-filter → bucket → pad to the union
+        schema (same co-group scaffold as stages/asof.py)."""
+
         def fn(batch: pa.Table) -> pa.Table:
             # null keys / null bounds can never satisfy the predicate
             valid = pc.is_valid(batch[on])
@@ -62,51 +73,23 @@ def interval_join(
                     ),
                 )
             batch = batch.filter(valid)
-            batch = batch.append_column(
-                "__bucket", bucket_column(batch, [on], buckets)
-            )
-            return batch.append_column(
-                "__side", pa.array([side] * len(batch), pa.string())
+            cols = {}
+            for c in out_cols:
+                cols[c] = (
+                    batch[c]
+                    if c in batch.column_names
+                    else pa.nulls(len(batch), type=types[c])
+                )
+            t = pa.table(cols)
+            t = t.append_column("__bucket", bucket_column(t, [on], buckets))
+            return t.append_column(
+                "__side", pa.array([side] * len(t), pa.string())
             )
 
         return fn
 
-    l = left.map_batches(tag("l"), batch_format="pyarrow", **remote_env())
-    r = right.map_batches(tag("r"), batch_format="pyarrow", **remote_env())
-
-    # pad to a shared schema for the union
-    l_only = [c for c in lcols if c != on]
-    r_only = [c for c in rcols if c != on]
-    ltypes = dict(zip(left.schema().names, left.schema().types))
-    rtypes = dict(zip(right.schema().names, right.schema().types))
-
-    def _atype(t):
-        import numpy as np
-
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(np.dtype(t))
-        except (pa.ArrowNotImplementedError, TypeError):
-            return pa.string()
-
-    types = {c: _atype(t) for c, t in {**ltypes, **rtypes}.items()}
-    out_cols = [on] + l_only + r_only
-
-    def pad(batch: pa.Table) -> pa.Table:
-        cols = {}
-        for c in out_cols:
-            cols[c] = (
-                batch[c]
-                if c in batch.column_names
-                else pa.nulls(len(batch), type=types[c])
-            )
-        cols["__bucket"] = batch["__bucket"]
-        cols["__side"] = batch["__side"]
-        return pa.table(cols)
-
-    l = l.map_batches(pad, batch_format="pyarrow", **remote_env())
-    r = r.map_batches(pad, batch_format="pyarrow", **remote_env())
+    l = left.map_batches(tag_and_pad("l"), batch_format="pyarrow", **remote_env())
+    r = right.map_batches(tag_and_pad("r"), batch_format="pyarrow", **remote_env())
 
     out_schema = pa.schema([(c, types[c]) for c in out_cols])
 

@@ -124,16 +124,10 @@ def bucketed_hash_join(
             f"overlapping non-key columns {set(l_only) & set(r_only)}: "
             "rename before joining"
         )
-    def _arrow_type(t) -> pa.DataType:
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(np.dtype(t))
-        except (pa.ArrowNotImplementedError, TypeError):
-            return pa.string()
+    from ._bucket import arrow_type_of
 
-    types = {n: _arrow_type(t) for n, t in zip(lschema.names, lschema.types)}
-    types.update({n: _arrow_type(t) for n, t in zip(rschema.names, rschema.types)})
+    types = {n: arrow_type_of(t) for n, t in zip(lschema.names, lschema.types)}
+    types.update({n: arrow_type_of(t) for n, t in zip(rschema.names, rschema.types)})
     all_cols = on_cols + l_only + r_only
 
     def pad(_present):

@@ -39,6 +39,10 @@ class PartitionManifest:
     counts_sha256: str
     duration_s: float
     registry_version: str
+    # part of the checkpoint fingerprint: a resume with a different parse
+    # column must recompute (default keeps pre-field manifests valid for
+    # text runs)
+    text_col: str = "text"
 
     def write(self, run_dir: str) -> str:
         d = manifest_dir(run_dir)
