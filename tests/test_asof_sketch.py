@@ -121,3 +121,38 @@ def test_asof_join_null_keys_and_ts(ray_session):
     assert pd.isna(by_lv[1])        # null left ts -> no match
     assert pd.isna(by_lv[2])        # null left key -> no match (NOT the null right row)
     assert by_lv[3] == 400          # right null-ts row ignored, ts(7) wins
+
+
+def test_grouped_quantile_sketch_within_bin_width(ray_session):
+    """The mergeable histogram quantile lands within one bin width of the
+    exact quantile for every key."""
+    import numpy as np
+    import ray.data
+
+    from ulp_ray.stages.aggregate import grouped_quantile
+    from ulp_ray.stages.sketch import grouped_quantile_sketch
+
+    rng = np.random.default_rng(21)
+    n = 30_000
+    tbl = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 40, n), pa.int64()),
+            "v": pa.array(rng.random(n) * 500.0 - 100.0, pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    approx = (
+        grouped_quantile_sketch(ds, ["k"], "v", 0.5, bins=256, out_col="m")
+        .to_pandas()
+        .set_index("k")["m"]
+    )
+    exact = (
+        grouped_quantile(ds, ["k"], "v", 0.5, out_col="m")
+        .to_pandas()
+        .set_index("k")["m"]
+    )
+    df = tbl.to_pandas()
+    for k, g in df.groupby("k"):
+        width = (g["v"].max() - g["v"].min()) / 256
+        assert abs(approx[k] - exact[k]) <= width + 1e-9, k
+    assert len(approx) == 40

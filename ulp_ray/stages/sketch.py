@@ -6,6 +6,15 @@ approximate aggregates, SURVEY.md §2.5).
 register array (2^p bytes); registers max-merge associatively on the
 driver. Standard bias-corrected estimator with small/large range
 corrections. Error ≈ 1.04/√(2^p) (~1.6% at p=12).
+
+:func:`grouped_quantile_sketch` — mergeable grouped quantile: the
+huge-key-space companion to the exact
+:func:`ulp_ray.stages.aggregate.grouped_quantile` (which must co-locate
+each group's values). Two mergeable folds: (key → min/max) then a
+fixed-bin histogram per key; the quantile interpolates inside its bin,
+so the absolute error is bounded by one bin width ((max−min)/bins per
+key). Every stage is a per-block partial + Sum — raw values never
+shuffle, only O(keys × bins) count rows.
 """
 
 from __future__ import annotations
@@ -16,7 +25,12 @@ import pyarrow as pa
 
 from .._env import remote_env
 
-__all__ = ["approx_distinct", "hll_partial", "hll_estimate"]
+__all__ = [
+    "approx_distinct",
+    "hll_partial",
+    "hll_estimate",
+    "grouped_quantile_sketch",
+]
 
 
 def _hash_u64(arr: np.ndarray) -> np.ndarray:
@@ -73,3 +87,111 @@ def approx_distinct(ds, col: str, p: int = 12) -> int:
     ).take_all():
         merged = np.maximum(merged, np.frombuffer(row["regs"], dtype=np.uint8))
     return round(hll_estimate(merged))
+
+
+def grouped_quantile_sketch(
+    ds,
+    keys: list[str],
+    value_col: str,
+    q: float,
+    bins: int = 256,
+    out_col: str | None = None,
+):
+    """Approximate grouped quantile via a per-key fixed-bin histogram.
+
+    Pass 1 folds per-key (min, max) — a mergeable per-block partial.
+    Pass 2 folds per-key bin counts (rows ``keys + [__bin, n]``, one per
+    key×bin per block at most). The quantile is read off the cumulative
+    histogram with linear interpolation inside the target bin; absolute
+    error ≤ (max−min)/bins per key. Both exchanges move pre-combined
+    fixed-width rows — this is the 100 TB-safe quantile shape (the exact
+    ``grouped_quantile`` ships each group's raw values to one bucket).
+    Returns a Dataset ``keys + [out_col]``.
+    """
+    import ray
+
+    from .aggregate import sum_rollup
+
+    key_list = list(keys)
+    name = out_col or f"q{q}"
+
+    def minmax_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(key_list + [value_col]).group_by(key_list).aggregate(
+            [(value_col, "min"), (value_col, "max")]
+        )
+        cols = {k: g[k] for k in key_list}
+        cols["lo"] = g[f"{value_col}_min"]
+        cols["hi"] = g[f"{value_col}_max"]
+        return pa.table(cols)
+
+    mm_partials = ds.map_batches(
+        minmax_partial, batch_format="pyarrow", batch_size=None, **remote_env()
+    ).to_pandas()  # tiny: O(keys × blocks) fixed-width rows
+    bounds = (
+        mm_partials.groupby(key_list, sort=True, dropna=False)
+        .agg(__lo=("lo", "min"), __hi=("hi", "max"))
+        .reset_index()
+    )
+    bounds_ref = ray.put(bounds)  # broadcast once, merged per batch
+
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bdf = ray.get(bounds_ref)
+        df = batch[key_list + [value_col]].dropna(subset=[value_col])
+        if df.empty:
+            return pd.DataFrame({c: [] for c in key_list} | {"__bin": [], "n": []})
+        df = df.merge(bdf, on=key_list)  # vectorized bounds lookup
+        lo_arr = df["__lo"].to_numpy(dtype=np.float64)
+        width = np.maximum(
+            df["__hi"].to_numpy(dtype=np.float64) - lo_arr, 1e-300
+        )
+        v = df[value_col].to_numpy(dtype=np.float64)
+        b = np.clip(((v - lo_arr) / width * bins).astype(np.int64), 0, bins - 1)
+        out = df[key_list].copy()
+        out["__bin"] = b
+        return out.groupby(key_list + ["__bin"], sort=False).size().reset_index(
+            name="n"
+        )
+
+    hist = sum_rollup(
+        ds.map_batches(
+            hist_partial, batch_format="pandas", batch_size=None, **remote_env()
+        ),
+        key_list + ["__bin"],
+        ["n"],
+        count_col=None,
+    )
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        # per-key loop over the already-reduced histogram only (≤ bins
+        # rows per key; O(bins) numpy per iteration)
+        bdf = ray.get(bounds_ref).set_index(key_list)
+        out_rows = []
+        for k, grp in g.groupby(key_list, sort=True):
+            kt = k if isinstance(k, tuple) else (k,)
+            counts = np.zeros(bins, dtype=np.int64)
+            counts[grp["__bin"].to_numpy()] = grp["n"].to_numpy()
+            total = counts.sum()
+            cum = np.cumsum(counts)
+            target = q * total
+            bi = int(np.searchsorted(cum, target, side="left"))
+            bi = min(bi, bins - 1)
+            prev = cum[bi - 1] if bi > 0 else 0
+            in_bin = counts[bi]
+            frac = (target - prev) / in_bin if in_bin else 0.0
+            b_lo, b_hi = bdf.loc[k, "__lo"], bdf.loc[k, "__hi"]
+            est = b_lo + (bi + frac) * ((b_hi - b_lo) / bins)
+            out_rows.append(dict(zip(key_list, kt)) | {name: est})
+        return pd.DataFrame(out_rows)
+
+    # final read-off: the histogram is tiny (keys × bins) — co-group by
+    # key hash bucket, vectorized within
+    from ._bucket import bucket_column
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__bucket", bucket_column(batch, key_list, 64))
+
+    return (
+        hist.map_batches(add_bucket, batch_format="pyarrow", **remote_env())
+        .groupby("__bucket")
+        .map_groups(quantiles, batch_format="pandas", **remote_env())
+    )
