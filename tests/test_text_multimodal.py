@@ -91,8 +91,12 @@ def test_audio_featurizer_stub():
 def test_frame_sample_explodes():
     t = make_synthetic_media_table(3, payload_bytes=4096)
     out = frame_sample(t, every_n_bytes=1024, max_frames=4)
-    assert len(out) == 12  # 3 media × 4 frames
-    assert out["frame_idx"].to_pylist() == [0, 1, 2, 3] * 3
+    # per-payload frame count (image rows carry small real PPMs now)
+    want = [
+        min(4, max(1, len(p) // 1024)) for p in t["payload"].to_pylist()
+    ]
+    assert len(out) == sum(want)
+    assert out["frame_idx"].to_pylist() == [i for w in want for i in range(w)]
 
 
 def test_lang_id_batch_matches_scalar_edge_cases():
@@ -147,3 +151,46 @@ def test_quality_features_match_python_reference():
         want_ml = sum(len(x) for x in toks) / len(toks) if toks else 0.0
         assert q["stopword_ratio"][i].as_py() == round(want_sw, 6)
         assert q["mean_token_len"][i].as_py() == round(want_ml, 6)
+
+
+def test_ppm_decode_real_roundtrip():
+    """The PPM path is a REAL decoder: encode known pixels, decode, get
+    the exact array back (incl. comment-bearing headers)."""
+    import numpy as np
+
+    from ulp_ray.stages.multimodal import _decode_ppm, encode_ppm
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert (_decode_ppm(encode_ppm(img)) == img).all()
+    with_comment = b"P6\n# a comment\n3 2\n255\n" + img.tobytes()
+    assert (_decode_ppm(with_comment) == img).all()
+
+
+def test_image_decoder_uses_real_ppm_decode(ray_session):
+    """ImageDecoder over the synthetic table: PPM rows report their TRUE
+    dimensions and luma (not the stub's hash-seeded fake)."""
+    import numpy as np
+    import ray.data
+
+    from ulp_ray.stages.multimodal import (
+        decode_images,
+        encode_ppm,
+        make_synthetic_media_table,
+    )
+
+    img = np.full((4, 6, 3), 100, dtype=np.uint8)
+    tbl = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "media_type": pa.array(["image/x-portable-pixmap"], pa.string()),
+            "payload": pa.array([encode_ppm(img)], pa.binary()),
+            "n_bytes": pa.array([0], pa.int64()),
+        }
+    )
+    out = decode_images(ray.data.from_arrow(tbl)).take_all()
+    assert out[0]["width"] == 6 and out[0]["height"] == 4
+    assert out[0]["mean_luma"] == 100.0
+    # and the synthetic table's image rows are genuinely decodable
+    media = make_synthetic_media_table(30)
+    rows = decode_images(ray.data.from_arrow(media)).take_all()
+    assert len(rows) == 30
