@@ -147,3 +147,35 @@ def test_interval_join_null_rows_dropped(ray_session):
         end_col="iv_end",
     ).to_pandas()
     assert out["eid"].tolist() == [0]  # null keys never match (SQL join)
+
+
+def test_pivot_counts_matches_pandas(values):
+    import ray.data
+
+    from ulp_ray.stages.aggregate import pivot_counts
+
+    # pivot the low digit of v as a categorical
+    tbl = values.append_column(
+        "cat",
+        pa.array(
+            (values["v"].to_numpy() % 3).astype("int64").astype(str), pa.string()
+        ),
+    )
+    out = (
+        pivot_counts(ray.data.from_arrow(tbl), ["grp"], "cat", values=["0", "1"])
+        .to_pandas()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    df = tbl.to_pandas()
+    want = (
+        df.assign(**{
+            "0_n": (df["cat"] == "0").astype("int64"),
+            "1_n": (df["cat"] == "1").astype("int64"),
+        })
+        .groupby("grp", as_index=False)[["0_n", "1_n"]]
+        .sum()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[["grp", "0_n", "1_n"]], want, check_dtype=False)

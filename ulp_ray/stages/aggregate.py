@@ -36,6 +36,7 @@ __all__ = [
     "schema_rollup_partials",
     "grouped_topk",
     "grouped_quantile",
+    "pivot_counts",
 ]
 
 
@@ -236,6 +237,48 @@ def grouped_topk(
         )
     tbl = partials.to_pandas()
     return ray.data.from_pandas(local_topk(tbl).reset_index(drop=True))
+
+
+def pivot_counts(
+    ds,
+    index_cols: Sequence[str],
+    pivot_col: str,
+    values: Sequence[str],
+    suffix: str = "_n",
+):
+    """Pivot (wide) counts: one row per ``index_cols`` tuple with one
+    ``<value><suffix>`` int64 column per pivot value (the conditional-
+    aggregation feature-engineering shape).
+
+    ``values`` is explicit — the scale-sane form (an auto-discovery pass
+    over 100 TB to learn the column set is its own query; and an
+    unbounded pivot width is a schema hazard). Rows whose ``pivot_col``
+    is not in ``values`` count toward no column. Same partial-combine
+    shape as :func:`count_rollup`: each block collapses to one wide row
+    per index tuple, then the tiny partials Sum."""
+    idx = list(index_cols)
+    vals = list(values)
+    out_names = [f"{v}{suffix}" for v in vals]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {k: batch[k] for k in idx}
+        for v, name in zip(vals, out_names):
+            cols[name] = pa.compute.cast(
+                pa.compute.equal(batch[pivot_col], v), pa.int64()
+            )
+        wide = pa.table(cols)
+        g = wide.group_by(idx).aggregate([(n, "sum") for n in out_names])
+        out = {k: g[k] for k in idx}
+        for n in out_names:
+            out[n] = g[f"{n}_sum"]
+        return pa.table(out)
+
+    from .._env import remote_env
+
+    pre = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, **remote_env()
+    )
+    return sum_rollup(pre, idx, out_names, count_col=None)
 
 
 def grouped_quantile(
