@@ -1,0 +1,128 @@
+"""Deterministic splits/sampling and distributed k-means."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def convs(ray_session):
+    rng = np.random.default_rng(7)
+    n = 12_000
+    return pa.table(
+        {
+            "conv_id": pa.array(
+                [f"c{int(x)}" for x in rng.integers(0, 2_000, n)], pa.string()
+            ),
+            "row": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+
+
+def test_hash_split_disjoint_complete_group_atomic(convs):
+    import ray.data
+
+    from ulp_ray.stages.split import hash_split
+
+    ds = ray.data.from_arrow(convs)
+    splits = hash_split(ds, "conv_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    parts = {name: s.to_pandas() for name, s in splits.items()}
+    total = sum(len(p) for p in parts.values())
+    assert total == convs.num_rows  # complete
+    rows = set()
+    for p in parts.values():
+        ids = set(p["row"])
+        assert not (rows & ids)  # disjoint
+        rows |= ids
+    # group-atomic: each conv_id appears in exactly one split
+    seen: dict[str, str] = {}
+    for name, p in parts.items():
+        for c in p["conv_id"].unique():
+            assert seen.setdefault(c, name) == name
+    # fractions approximately honored (by conv count)
+    n_convs = sum(p["conv_id"].nunique() for p in parts.values())
+    assert abs(parts["train"]["conv_id"].nunique() / n_convs - 0.8) < 0.05
+
+
+def test_hash_split_deterministic_across_runs(convs):
+    import ray.data
+
+    from ulp_ray.stages.split import hash_split
+
+    ds = ray.data.from_arrow(convs)
+    a = hash_split(ds, "conv_id", {"a": 0.5, "b": 0.5})["a"].to_pandas()
+    b = hash_split(ds, "conv_id", {"a": 0.5, "b": 0.5})["a"].to_pandas()
+    assert sorted(a["row"]) == sorted(b["row"])
+    # different salt -> different membership
+    c = hash_split(ds, "conv_id", {"a": 0.5, "b": 0.5}, salt=1)["a"].to_pandas()
+    assert sorted(a["row"]) != sorted(c["row"])
+
+
+def test_deterministic_sample_stable_and_group_atomic(convs):
+    import ray.data
+
+    from ulp_ray.stages.split import deterministic_sample
+
+    ds = ray.data.from_arrow(convs)
+    s1 = deterministic_sample(ds, "conv_id", 0.3).to_pandas()
+    s2 = deterministic_sample(ds, "conv_id", 0.3).to_pandas()
+    assert sorted(s1["row"]) == sorted(s2["row"])
+    assert 0.2 < len(s1) / convs.num_rows < 0.4
+    # a sampled conv is fully sampled
+    df = convs.to_pandas()
+    counts = df.groupby("conv_id").size()
+    got = s1.groupby("conv_id").size()
+    for c, n in got.items():
+        assert counts[c] == n
+
+
+def test_kmeans_recovers_planted_clusters(ray_session):
+    import ray.data
+
+    from ulp_ray.stages.similarity import assign_clusters, kmeans
+
+    rng = np.random.default_rng(11)
+    centers = np.eye(3, 16) * 10  # 3 well-separated directions
+    vecs, labels = [], []
+    for i in range(600):
+        c = i % 3
+        vecs.append((centers[c] + rng.standard_normal(16) * 0.1).tolist())
+        labels.append(c)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    cent = kmeans(ds, k=3, iters=8)
+    assert cent.shape == (3, 16)
+    assigned = assign_clusters(ds, cent).to_pandas().sort_values("vec_id")
+    # every planted cluster maps to exactly one learned cluster
+    import pandas as pd
+
+    df = pd.DataFrame({"true": labels, "got": assigned["cluster"].to_numpy()})
+    mapping = df.groupby("true")["got"].agg(lambda s: s.mode().iloc[0])
+    assert mapping.nunique() == 3
+    acc = (df["got"] == df["true"].map(mapping)).mean()
+    assert acc == 1.0  # separation is huge; k-means must nail it
+
+
+def test_kmeans_deterministic(ray_session):
+    import ray.data
+
+    from ulp_ray.stages.similarity import kmeans
+
+    rng = np.random.default_rng(4)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array(
+                rng.standard_normal((200, 8)).tolist(), pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    c1 = kmeans(ds, k=4, iters=5)
+    c2 = kmeans(ds, k=4, iters=5)
+    assert (c1 == c2).all()

@@ -21,7 +21,7 @@ import pyarrow as pa
 
 from .._env import remote_env
 
-__all__ = ["ann_topk", "ann_topk_ivf", "build_ivf_codebook"]
+__all__ = ["ann_topk", "ann_topk_ivf", "build_ivf_codebook", "kmeans", "assign_clusters"]
 
 
 def _batch_vectors(batch: pa.Table, vec_col: str, dtype=np.float32) -> np.ndarray:
@@ -130,6 +130,83 @@ def build_ivf_codebook(
                 cent[c] = members.mean(axis=0)
         cent = _normalize(cent)
     return cent
+
+
+def kmeans(
+    ds,
+    k: int = 8,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    seed: int = 5,
+) -> np.ndarray:
+    """Distributed spherical k-means (the iterative-algorithm shape:
+    broadcast state → mergeable per-batch partials → driver fold →
+    repeat).
+
+    Each iteration broadcasts the (k × dim) centroids once (``ray.put``);
+    every batch emits ONE partial row — per-cluster vector sums + counts
+    — so the exchange per iteration is O(blocks × k × dim) floats, never
+    the corpus. Deterministic: centroids init from the first
+    ``sample_rows`` rows with a seeded shuffle, ties in assignment break
+    toward the lower cluster id (argmax). Returns the final normalized
+    centroid matrix; use :func:`assign_clusters` for per-row labels."""
+    import ray
+
+    init = ds.limit(sample_rows).take_all()
+    v0 = _normalize(np.array([r[vec_col] for r in init], dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cent = v0[rng.choice(len(v0), min(k, len(v0)), replace=False)]
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            v = _normalize(_batch_vectors(batch, vec_col, dtype=np.float64))
+            assign = (v @ c.T).argmax(axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, v)
+            counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            return pa.table(
+                {
+                    "sums": pa.array([sums.tobytes()], pa.binary()),
+                    "counts": pa.array([counts.tobytes()], pa.binary()),
+                }
+            )
+
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for row in ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=None, **remote_env()
+        ).take_all():
+            sums += np.frombuffer(row["sums"], dtype=np.float64).reshape(cent.shape)
+            counts += np.frombuffer(row["counts"], dtype=np.int64)
+        nonempty = counts > 0
+        cent[nonempty] = _normalize(sums[nonempty] / counts[nonempty, None])
+    return cent
+
+
+def assign_clusters(
+    ds, centroids: np.ndarray, vec_col: str = "embedding", id_col: str = "vec_id"
+):
+    """Per-row nearest-centroid labels (broadcast centroids, one matmul
+    per batch). Returns a Dataset ``(id_col, cluster)``."""
+    import ray
+
+    cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def label(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        v = _normalize(_batch_vectors(batch, vec_col, dtype=np.float64))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array((v @ c.T).argmax(axis=1).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(label, batch_format="pyarrow", **remote_env())
 
 
 def ann_topk_ivf(

@@ -1,0 +1,73 @@
+"""Deterministic, group-aware dataset splitting and sampling — the
+train/val/test machinery a training-data pipeline needs (the reference
+has nothing like it; `random_shuffle`/`random_sample` are
+non-deterministic across runs, which breaks resume and reproducibility).
+
+Both operators key on a HASH of a group column, so (a) re-runs produce
+byte-identical splits, and (b) all rows of one group (conversation,
+user, document) land in the same split — no train/test leakage through
+a group straddling the boundary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .._env import remote_env
+from ._bucket import key_hash_u64
+
+__all__ = ["hash_split", "deterministic_sample"]
+
+_SCALE = float(1 << 64)
+
+
+def _unit_interval(batch: pa.Table, key: str, salt: int) -> np.ndarray:
+    """Per-row deterministic position in [0, 1) from hash(key)."""
+    h = key_hash_u64(batch[key])
+    if salt:
+        h = h * np.uint64(0x9E3779B97F4A7C15) + np.uint64(salt)
+    return h.astype(np.float64) / _SCALE
+
+
+def hash_split(ds, key: str, fractions: dict[str, float], salt: int = 0) -> dict:
+    """Split into named datasets by hash(key): ``{"train": 0.9,
+    "val": 0.05, "test": 0.05}``. Fractions must sum to ~1. Each split is
+    an independent lazy filter of the input — splits are disjoint, cover
+    every row, and are group-atomic on ``key``."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions sum to {total}, expected 1")
+    bounds = []
+    acc = 0.0
+    for name, f in fractions.items():
+        bounds.append((name, acc, acc + f))
+        acc += f
+    bounds[-1] = (bounds[-1][0], bounds[-1][1], 1.0 + 1e-12)  # cover rounding
+
+    def make_filter(lo: float, hi: float):
+        def fn(batch: pa.Table) -> pa.Table:
+            u = _unit_interval(batch, key, salt)
+            return batch.filter(pa.array((u >= lo) & (u < hi)))
+
+        return fn
+
+    return {
+        name: ds.map_batches(make_filter(lo, hi), batch_format="pyarrow", **remote_env())
+        for name, lo, hi in bounds
+    }
+
+
+def deterministic_sample(ds, key: str, fraction: float, salt: int = 0):
+    """Keep a deterministic, group-atomic ``fraction`` of the data:
+    rows whose hash(key) lands below the threshold. Unlike
+    ``Dataset.random_sample`` this is stable across runs/retries (resume
+    safety) and never splits a group."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction {fraction} outside [0, 1]")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        u = _unit_interval(batch, key, salt)
+        return batch.filter(pa.array(u < fraction))
+
+    return ds.map_batches(fn, batch_format="pyarrow", **remote_env())
