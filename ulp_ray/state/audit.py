@@ -10,7 +10,9 @@ output (and the inverse of the reference's blind-trust manifest,
 2. each partition's sink files contain exactly ``rows_routed`` rows
    (parquet metadata only — no data read);
 3. the final rollup equals the sum of the per-partition partials;
-4. ``run.json`` totals equal the manifest sums.
+4. ``run.json`` totals equal the manifest sums;
+5. every completed partition has its per-route schema partial, and every
+   route present in the sinks has a merged ``_schema.json`` sidecar.
 
 Returns a dict report; raises ``AuditError`` listing every violation when
 ``strict=True``.
@@ -73,6 +75,10 @@ def audit_run(run_dir: str, strict: bool = True) -> dict:
                 f"partition {pi}: sink rows {sink_rows} != manifest "
                 f"rows_routed {m.rows_routed}"
             )
+        if not os.path.isfile(
+            os.path.join(run_dir, "_schemas_partials", f"partition={pi}.json")
+        ):
+            problems.append(f"partition {pi}: schema partial missing")
         total_rows += m.rows_routed
 
     rollup_path = os.path.join(run_dir, "rollup", "agg_counts.parquet")
@@ -85,6 +91,19 @@ def audit_run(run_dir: str, strict: bool = True) -> dict:
             problems.append("final rollup != sum of per-partition partials")
     else:
         problems.append("rollup/agg_counts.parquet missing")
+
+    # every sink route has its merged schema sidecar
+    sink_routes = {
+        os.path.basename(d)
+        for d in globmod.glob(os.path.join(run_dir, "sinks", "partition=*", "route=*"))
+        if os.path.isdir(d)
+        and not d.endswith((".pre-compact", ".compact.tmp"))
+    }
+    for route_dir in sorted(sink_routes):
+        if not os.path.isfile(
+            os.path.join(run_dir, "_schemas", route_dir, "_schema.json")
+        ):
+            problems.append(f"{route_dir}: merged schema sidecar missing")
 
     run_json = os.path.join(run_dir, "_manifest", "run.json")
     if os.path.isfile(run_json):
