@@ -98,6 +98,9 @@ def run_bench() -> dict:
         "session_windows_events",
         "turn_gaps_events",
         "minhash_dedup_docs",
+        "interval_join_events",
+        "pivot_event_counts",
+        "quantile_value_per_type",
     ):
         if name not in qs:
             continue

@@ -190,7 +190,13 @@ def minhash_lsh_candidates(
 ):
     """Banded LSH: explode each signature into (band, band_hash, id) rows,
     group by (band, band_hash), and emit candidate pairs (a < b) from each
-    bucket. The shuffle moves only O(docs × bands) fixed-width rows."""
+    bucket. The shuffle moves only O(docs × bands) fixed-width rows.
+
+    Hot-bucket hazard (documented): pair generation is quadratic in a
+    bucket's size, and N byte-identical documents all share every band
+    bucket → O(N²) candidate pairs. Run :func:`exact_dedup` FIRST (the
+    curation pipeline does) so only near-dups — which cluster in small
+    groups — reach the LSH stage."""
     rows_per_band = num_perm // bands
 
     def explode(batch: pa.Table) -> pa.Table:
