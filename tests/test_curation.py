@@ -57,3 +57,22 @@ def test_curation_end_to_end(ray_session, tmp_path):
     t = pq.read_table(os.path.join(out, "curated"))
     assert sorted(t["doc_id"].to_pylist()) == [0, 4]
     assert "quality_score" in t.column_names and "lang_pred" in t.column_names
+
+
+def test_curation_with_splits(ray_session, tmp_path):
+    import json
+
+    import ray.data
+
+    from ulp_ray.pipelines.curation import curate_documents
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "cur")
+    curated, report = curate_documents(
+        ds, out_dir=out, min_quality=0.2, splits={"train": 0.8, "val": 0.2}
+    )
+    assert report.split_rows is not None
+    assert sum(report.split_rows.values()) == report.rows_out
+    assert os.path.isdir(os.path.join(out, "splits", "train"))
+    with open(os.path.join(out, "report.json")) as f:
+        assert json.load(f)["split_rows"] == report.split_rows

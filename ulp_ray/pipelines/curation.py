@@ -7,9 +7,12 @@ removal → curated Parquet + report.
                                       # fingerprint (functions/text.py)
       → filter(quality ≥ min_quality) # vectorized predicate
       → exact_dedup(on=text)          # hash-partition + per-group first
+                                      # (MUST precede minhash: identical
+                                      # docs make LSH buckets quadratic)
       → minhash near-dup pairs        # shingle→sig→LSH→verify ≥ threshold
       → drop the higher doc_id of each verified pair
-      → write_parquet(out_dir/curated) + report.json
+      → [optional] hash_split(id)     # deterministic train/val/test
+      → write_parquet(out_dir/curated [, splits/<name>]) + report.json
 
 Every stage streams; the only all-to-alls are the dedup groupbys (fixed-
 width hash keys, never text). The report carries per-stage row counts —
@@ -41,6 +44,7 @@ class CurationReport:
     rows_out: int
     min_quality: float
     jaccard_threshold: float
+    split_rows: dict | None = None
 
     def write(self, out_dir: str) -> None:
         with open(os.path.join(out_dir, "report.json"), "w") as f:
@@ -54,11 +58,16 @@ def curate_documents(
     jaccard_threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    splits: dict[str, float] | None = None,
 ) -> tuple:
     """Run the curation pipeline over a documents dataset.
 
     Returns ``(curated_dataset, CurationReport)``; when ``out_dir`` is
     given, also writes ``curated/`` Parquet and ``report.json``.
+    ``splits`` (e.g. ``{"train": 0.95, "val": 0.05}``) adds a
+    deterministic hash-of-id split as the final stage — resume-stable
+    and document-atomic — with per-split counts in the report (and
+    ``splits/<name>/`` Parquet when ``out_dir`` is given).
     """
     rows_in = ds.count()
 
@@ -101,6 +110,17 @@ def curate_documents(
     curated = curated.materialize()  # counted and (optionally) written
     rows_out = curated.count()
 
+    split_rows = None
+    split_sets = {}
+    if splits:
+        from ..stages.split import hash_split
+
+        split_sets = {
+            name: s.materialize()
+            for name, s in hash_split(curated, id_col, splits).items()
+        }
+        split_rows = {name: s.count() for name, s in split_sets.items()}
+
     report = CurationReport(
         rows_in=rows_in,
         rows_after_quality=rows_after_quality,
@@ -109,9 +129,12 @@ def curate_documents(
         rows_out=rows_out,
         min_quality=min_quality,
         jaccard_threshold=jaccard_threshold,
+        split_rows=split_rows,
     )
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         curated.write_parquet(os.path.join(out_dir, "curated"))
+        for name, s in split_sets.items():
+            s.write_parquet(os.path.join(out_dir, "splits", name))
         report.write(out_dir)
     return curated, report
