@@ -39,7 +39,7 @@ def test_curation_end_to_end(ray_session, tmp_path):
 
     ds = ray.data.from_arrow(_docs())
     out = str(tmp_path / "curation")
-    curated, report = curate_documents(
+    curated, report, _ = curate_documents(
         ds, out_dir=out, min_quality=0.2, jaccard_threshold=0.6
     )
     ids = sorted(r["doc_id"] for r in curated.take_all())
@@ -68,7 +68,7 @@ def test_curation_with_splits(ray_session, tmp_path):
 
     ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
     out = str(tmp_path / "cur")
-    curated, report = curate_documents(
+    curated, report, _ = curate_documents(
         ds, out_dir=out, min_quality=0.2, splits={"train": 0.8, "val": 0.2}
     )
     assert report.split_rows is not None

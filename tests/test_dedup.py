@@ -201,3 +201,22 @@ def test_embedding_neardup_auto_routes_to_lsh(ray_session):
     assert (0, 1) in exact_pairs
     assert routed_pairs <= exact_pairs  # LSH recall < 1, precision exact
     assert (0, 1) in routed_pairs  # identical-direction pair survives bucketing
+
+
+def test_exact_dedup_null_values_form_a_group(ray_session):
+    """NULL is a distinct group (SQL GROUP BY): the min-order null-text
+    row must survive, not vanish."""
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([3, 1, 2, 4], pa.int64()),
+            "text": pa.array(["a", None, None, "a"], pa.string()),
+        }
+    )
+    out = exact_dedup(ray.data.from_arrow(tbl), on="text", order_col="doc_id")
+    got = sorted(
+        ((r["text"], r["doc_id"]) for r in out.take_all()),
+        key=lambda t: (t[0] is not None, t),
+    )
+    assert got == [(None, 1), ("a", 3)]

@@ -126,3 +126,22 @@ def test_kmeans_deterministic(ray_session):
     c1 = kmeans(ds, k=4, iters=5)
     c2 = kmeans(ds, k=4, iters=5)
     assert (c1 == c2).all()
+
+
+def test_hash_split_write_one_pass_matches_lazy(convs, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ulp_ray.stages.split import hash_split, hash_split_write
+
+    ds = ray.data.from_arrow(convs)
+    paths = hash_split_write(
+        ds, "conv_id", {"train": 0.8, "val": 0.2}, str(tmp_path / "sp")
+    )
+    lazy = hash_split(ds, "conv_id", {"train": 0.8, "val": 0.2})
+    for name, p in paths.items():
+        assert os.path.isdir(p)
+        written = sorted(pq.read_table(p)["row"].to_pylist())
+        assert written == sorted(lazy[name].to_pandas()["row"])

@@ -179,3 +179,23 @@ def test_pivot_counts_matches_pandas(values):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out[["grp", "0_n", "1_n"]], want, check_dtype=False)
+
+
+def test_pivot_counts_null_pivot_values_count_zero(ray_session):
+    import ray.data
+
+    from ulp_ray.stages.aggregate import pivot_counts
+
+    tbl = pa.table(
+        {
+            "grp": pa.array([1, 1, 2], pa.int64()),
+            "cat": pa.array(["x", None, None], pa.string()),
+        }
+    )
+    out = (
+        pivot_counts(ray.data.from_arrow(tbl), ["grp"], "cat", values=["x"])
+        .to_pandas()
+        .sort_values("grp")
+    )
+    # all-null group 2 gets 0, not null (SQL SUM(CASE...ELSE 0))
+    assert out["x_n"].tolist() == [1, 0]

@@ -62,12 +62,15 @@ def curate_documents(
 ) -> tuple:
     """Run the curation pipeline over a documents dataset.
 
-    Returns ``(curated_dataset, CurationReport)``; when ``out_dir`` is
-    given, also writes ``curated/`` Parquet and ``report.json``.
-    ``splits`` (e.g. ``{"train": 0.95, "val": 0.05}``) adds a
-    deterministic hash-of-id split as the final stage — resume-stable
-    and document-atomic — with per-split counts in the report (and
-    ``splits/<name>/`` Parquet when ``out_dir`` is given).
+    Returns ``(curated_dataset, CurationReport, splits_dict)``; when
+    ``out_dir`` is given, also writes ``curated/`` Parquet and
+    ``report.json``. ``splits`` (e.g. ``{"train": 0.95, "val": 0.05}``)
+    adds a deterministic hash-of-id split as the final stage —
+    resume-stable and document-atomic — returning the split datasets,
+    recording per-split counts in the report, and (with ``out_dir``)
+    overwriting ``splits/<name>/`` Parquet. The split filters run over
+    the already-materialized curated dataset, so they re-scan the object
+    store, not the source files.
     """
     rows_in = ds.count()
 
@@ -134,7 +137,13 @@ def curate_documents(
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         curated.write_parquet(os.path.join(out_dir, "curated"))
-        for name, s in split_sets.items():
-            s.write_parquet(os.path.join(out_dir, "splits", name))
+        if split_sets:
+            # deterministic overwrite — stale split dirs from a previous
+            # run (or a changed split layout) must not survive
+            import shutil as _sh
+
+            _sh.rmtree(os.path.join(out_dir, "splits"), ignore_errors=True)
+            for name, s in split_sets.items():
+                s.write_parquet(os.path.join(out_dir, "splits", name))
         report.write(out_dir)
-    return curated, report
+    return curated, report, split_sets

@@ -263,8 +263,14 @@ def pivot_counts(
     def partial(batch: pa.Table) -> pa.Table:
         cols = {k: batch[k] for k in idx}
         for v, name in zip(vals, out_names):
-            cols[name] = pa.compute.cast(
-                pa.compute.equal(batch[pivot_col], v), pa.int64()
+            # null pivot values count toward no column — fill the null
+            # comparison with 0 so an all-null key yields 0s, not nulls
+            # (matching SQL's SUM(CASE ... ELSE 0))
+            cols[name] = pa.compute.fill_null(
+                pa.compute.cast(
+                    pa.compute.equal(batch[pivot_col], v), pa.int64()
+                ),
+                0,
             )
         wide = pa.table(cols)
         g = wide.group_by(idx).aggregate([(n, "sum") for n in out_names])

@@ -81,7 +81,13 @@ def exact_dedup(ds, on: str, order_col: str, buckets: int = 256):
         return batch.append_column("__b", pa.array(h.astype(np.int64)))
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.sort_values(order_col, kind="stable").groupby(on, sort=False).head(1)
+        # dropna=False: NULL is a distinct value and keeps its min-order
+        # row (SQL GROUP BY semantics — the oracle emits a NULL group)
+        out = (
+            g.sort_values(order_col, kind="stable")
+            .groupby(on, sort=False, dropna=False)
+            .head(1)
+        )
         return out.drop(columns="__b")
 
     return (
@@ -557,12 +563,16 @@ def _normalized_matrix(
     ids, rows = [], []
     total = 0
     for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if len(batch) == 0:
+            continue
         total += len(batch)
         if max_rows is not None and total > max_rows:
             return None
         ids.append(batch[id_col].to_numpy(zero_copy_only=False))
         flat = np.asarray(batch[vec_col].combine_chunks().flatten(), dtype=dtype)
         rows.append(flat.reshape(len(batch), -1))
+    if not rows:
+        return np.array([], dtype=np.int64), np.zeros((0, 0), dtype=dtype)
     mat = np.concatenate(rows)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -604,6 +614,8 @@ def embedding_neardup(
     mat_ref = ray.put((all_ids, mat))
 
     def block_pairs(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _COSINE_SCHEMA.empty_table()
         ids_all, m = ray.get(mat_ref)
         ids_b = batch[id_col].to_numpy(zero_copy_only=False)
         flat = np.asarray(batch[vec_col].combine_chunks().flatten(), dtype=np.float64)
@@ -647,6 +659,14 @@ def embedding_neardup_lsh(
     sign bit land apart); raise recall by unioning several plane seeds."""
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "bucket": pa.array([], pa.int64()),
+                    vec_col: batch[vec_col],
+                }
+            )
         flat = np.asarray(batch[vec_col].combine_chunks().flatten(), dtype=np.float32)
         v = flat.reshape(len(batch), -1)
         rng = np.random.default_rng(seed)

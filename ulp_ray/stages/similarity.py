@@ -53,7 +53,13 @@ def ann_topk(
     q = _normalize(np.asarray(queries, dtype=np.float64))
     q_ref = ray.put(q)
 
+    _empty_topk = pa.schema(
+        [("query_id", pa.int64()), (id_col, pa.int64()), ("score", pa.float64())]
+    ).empty_table()
+
     def local_topk(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # reshape(0, -1) would raise
+            return _empty_topk
         qm = ray.get(q_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         v = _normalize(_batch_vectors(batch, vec_col, dtype=np.float64))
@@ -163,11 +169,15 @@ def kmeans(
 
         def partial(batch: pa.Table) -> pa.Table:
             c = ray.get(cent_ref)
-            v = _normalize(_batch_vectors(batch, vec_col, dtype=np.float64))
-            assign = (v @ c.T).argmax(axis=1)
-            sums = np.zeros_like(c)
-            np.add.at(sums, assign, v)
-            counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            if len(batch) == 0:
+                sums = np.zeros_like(c)
+                counts = np.zeros(len(c), dtype=np.int64)
+            else:
+                v = _normalize(_batch_vectors(batch, vec_col, dtype=np.float64))
+                assign = (v @ c.T).argmax(axis=1)
+                sums = np.zeros_like(c)
+                np.add.at(sums, assign, v)
+                counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
             return pa.table(
                 {
                     "sums": pa.array([sums.tobytes()], pa.binary()),
@@ -197,6 +207,10 @@ def assign_clusters(
     cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
 
     def label(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {id_col: batch[id_col], "cluster": pa.array([], pa.int64())}
+            )
         c = ray.get(cent_ref)
         v = _normalize(_batch_vectors(batch, vec_col, dtype=np.float64))
         return pa.table(
@@ -238,9 +252,12 @@ def ann_topk_ivf(
     q_ref = ray.put((q, probe_map))
 
     def assign(batch: pa.Table) -> pa.Table:
-        c = ray.get(cent_ref)
-        v = _normalize(_batch_vectors(batch, vec_col))
-        lid = (v @ c.T).argmax(axis=1).astype(np.int64)
+        if len(batch) == 0:
+            lid = np.array([], dtype=np.int64)
+        else:
+            c = ray.get(cent_ref)
+            v = _normalize(_batch_vectors(batch, vec_col))
+            lid = (v @ c.T).argmax(axis=1).astype(np.int64)
         return pa.table(
             {id_col: batch[id_col], "list_id": pa.array(lid), vec_col: batch[vec_col]}
         )

@@ -133,12 +133,17 @@ def grouped_quantile_sketch(
         .reset_index()
     )
     bounds_ref = ray.put(bounds)  # broadcast once, merged per batch
+    # pre-indexed copy for the final read-off (avoids re-building the
+    # index in every bucket callback); the bounds side is an O(keys)
+    # broadcast — the same footprint class as a broadcast-join small side
+    bounds_idx_ref = ray.put(bounds.set_index(key_list))
 
     def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # no empty-df special case: merge/clip/groupby on an empty frame
+        # preserve the key dtypes (a hand-built empty frame would be
+        # all-float64 and break the Arrow concat in sum_rollup)
         bdf = ray.get(bounds_ref)
         df = batch[key_list + [value_col]].dropna(subset=[value_col])
-        if df.empty:
-            return pd.DataFrame({c: [] for c in key_list} | {"__bin": [], "n": []})
         df = df.merge(bdf, on=key_list)  # vectorized bounds lookup
         lo_arr = df["__lo"].to_numpy(dtype=np.float64)
         width = np.maximum(
@@ -164,7 +169,7 @@ def grouped_quantile_sketch(
     def quantiles(g: pd.DataFrame) -> pd.DataFrame:
         # per-key loop over the already-reduced histogram only (≤ bins
         # rows per key; O(bins) numpy per iteration)
-        bdf = ray.get(bounds_ref).set_index(key_list)
+        bdf = ray.get(bounds_idx_ref)
         out_rows = []
         for k, grp in g.groupby(key_list, sort=True):
             kt = k if isinstance(k, tuple) else (k,)

@@ -30,11 +30,7 @@ def _unit_interval(batch: pa.Table, key: str, salt: int) -> np.ndarray:
     return h.astype(np.float64) / _SCALE
 
 
-def hash_split(ds, key: str, fractions: dict[str, float], salt: int = 0) -> dict:
-    """Split into named datasets by hash(key): ``{"train": 0.9,
-    "val": 0.05, "test": 0.05}``. Fractions must sum to ~1. Each split is
-    an independent lazy filter of the input — splits are disjoint, cover
-    every row, and are group-atomic on ``key``."""
+def _split_bounds(fractions: dict[str, float]) -> list[tuple[str, float, float]]:
     total = sum(fractions.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"fractions sum to {total}, expected 1")
@@ -44,6 +40,21 @@ def hash_split(ds, key: str, fractions: dict[str, float], salt: int = 0) -> dict
         bounds.append((name, acc, acc + f))
         acc += f
     bounds[-1] = (bounds[-1][0], bounds[-1][1], 1.0 + 1e-12)  # cover rounding
+    return bounds
+
+
+def hash_split(ds, key: str, fractions: dict[str, float], salt: int = 0) -> dict:
+    """Split into named datasets by hash(key): ``{"train": 0.9,
+    "val": 0.05, "test": 0.05}``. Fractions must sum to ~1. Each split is
+    an independent lazy filter of the input — splits are disjoint, cover
+    every row, and are group-atomic on ``key``.
+
+    Cost note: materializing all N splits executes N filter passes over
+    the INPUT — fine when the input is already materialized (object-store
+    re-scan) or when only one split is consumed; for a disk-backed input
+    where every split is needed durably, :func:`hash_split_write` labels
+    and writes all splits in ONE pass."""
+    bounds = _split_bounds(fractions)
 
     def make_filter(lo: float, hi: float):
         def fn(batch: pa.Table) -> pa.Table:
@@ -56,6 +67,35 @@ def hash_split(ds, key: str, fractions: dict[str, float], salt: int = 0) -> dict
         name: ds.map_batches(make_filter(lo, hi), batch_format="pyarrow", **remote_env())
         for name, lo, hi in bounds
     }
+
+
+def hash_split_write(
+    ds, key: str, fractions: dict[str, float], out_dir: str, salt: int = 0
+) -> dict:
+    """One-pass durable split: label every row with its split name and
+    write all splits with a single partitioned ``write_parquet``
+    (``out_dir/__split=<name>/``). Returns ``{name: path}``. The 100 TB
+    shape — the source is read exactly once."""
+    import os
+
+    import pyarrow.compute as pc
+
+    bounds = _split_bounds(fractions)
+    names = [b[0] for b in bounds]
+
+    def add_label(batch: pa.Table) -> pa.Table:
+        u = _unit_interval(batch, key, salt)
+        label = np.select(
+            [(u >= lo) & (u < hi) for _, lo, hi in bounds],
+            [name for name, _, _ in bounds],
+            default=names[-1],
+        )
+        return batch.append_column("__split", pa.array(label, pa.string()))
+
+    ds.map_batches(add_label, batch_format="pyarrow", **remote_env()).write_parquet(
+        out_dir, partition_cols=["__split"], ray_remote_args=remote_env()
+    )
+    return {name: os.path.join(out_dir, f"__split={name}") for name in names}
 
 
 def deterministic_sample(ds, key: str, fraction: float, salt: int = 0):

@@ -69,6 +69,9 @@ def audit_run(run_dir: str, strict: bool = True) -> dict:
                 os.path.join(run_dir, "sinks", f"partition={pi}", "**", "*.parquet"),
                 recursive=True,
             )
+            # exclude compaction crash debris (recoverable backups would
+            # otherwise double-count against the manifest)
+            if ".pre-compact" not in f and ".compact.tmp" not in f
         )
         if sink_rows != m.rows_routed:
             problems.append(
