@@ -165,3 +165,35 @@ def test_compact_run_recovers_midswap_crash(ray_session, tmp_path):
     assert os.path.isdir(live) and not os.path.isdir(str(backup))
     assert sorted(pq2.read_table(live)["a"].to_pylist()) == list(range(30))
     assert out == {os.path.join("sinks", "partition=0", "route=x"): 1}
+
+
+def test_read_parquet_evolved_schema_drift(ray_session, tmp_path):
+    """Files written over time with drifting schemas (added column,
+    int->float widening) read as ONE dataset under the widened schema."""
+    import pyarrow.parquet as pq2
+
+    from ulp_ray.sources.io import read_parquet_evolved
+
+    d = tmp_path / "drift"
+    d.mkdir()
+    pq2.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()), "v": pa.array([1, 2], pa.int64())}),
+        d / "old.parquet",
+    )
+    pq2.write_table(
+        pa.table(
+            {
+                "id": pa.array([3], pa.int64()),
+                "v": pa.array([3.5], pa.float64()),  # widened
+                "extra": pa.array(["x"], pa.string()),  # added later
+            }
+        ),
+        d / "new.parquet",
+    )
+    out = read_parquet_evolved(str(d)).to_pandas().sort_values("id")
+    assert out["v"].tolist() == [1.0, 2.0, 3.5]  # int widened to float
+    assert out["extra"].tolist()[:2] == [None, None]  # old files -> null
+    assert out["extra"].tolist()[2] == "x"
+    # column pruning still works across the drift
+    pruned = read_parquet_evolved(str(d), columns=["id", "extra"]).to_pandas()
+    assert sorted(pruned.columns) == ["extra", "id"]

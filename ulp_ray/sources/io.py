@@ -15,7 +15,13 @@ from __future__ import annotations
 import glob as globmod
 import os
 
-__all__ = ["expand_glob", "read_transcripts", "read_ndjson", "write_ndjson"]
+__all__ = [
+    "expand_glob",
+    "read_transcripts",
+    "read_ndjson",
+    "write_ndjson",
+    "read_parquet_evolved",
+]
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
@@ -71,3 +77,48 @@ def read_ndjson(path_or_glob: str):
 def write_ndjson(ds, out_dir: str) -> None:
     """NDJSON sink (one file per block, like ulp's per-task .data files)."""
     ds.write_json(out_dir)
+
+
+def read_parquet_evolved(path_or_glob: str, columns: list[str] | None = None):
+    """Read Parquet files whose schemas DRIFTED over time (columns added,
+    numerics widened) as one dataset under the unified widened schema —
+    the engine's dynamic-schema story (§P3 lattice) applied at the read:
+    a plain multi-file ``read_parquet`` errors (or silently misbinds) on
+    schema conflicts.
+
+    Metadata-only planning: every file's footer schema is unified with
+    :func:`ulp_ray.functions.schema_merge.unify_arrow_schemas` (missing
+    columns → null, int64+float64 → float64, conflicts → string); each
+    batch then normalizes to the unified schema via the §P4 cast matrix.
+    One streaming pass over the data."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions.schema_merge import unify_arrow_schemas
+    from ..stages.normalize import normalize_to_schema
+
+    files = expand_glob(path_or_glob)
+    if not files:
+        raise FileNotFoundError(path_or_glob)
+    unified = unify_arrow_schemas([pq.read_schema(f) for f in files])
+    if columns:
+        import pyarrow as pa
+
+        unified = pa.schema([unified.field(c) for c in columns])
+    # one dataset per distinct file schema (files sharing a schema read
+    # together), normalized to the unified schema, then unioned — the
+    # union is planning-only; execution stays one streaming pass
+    by_schema: dict[str, list[str]] = {}
+    for f in files:
+        by_schema.setdefault(str(pq.read_schema(f)), []).append(f)
+    want = [f.name for f in unified]
+    parts = []
+    for group in by_schema.values():
+        present = set(pq.read_schema(group[0]).names)
+        cols = [c for c in want if c in present]  # prune at the read
+        ds = ray.data.read_parquet(group, columns=cols or None)
+        parts.append(normalize_to_schema(ds, unified))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
