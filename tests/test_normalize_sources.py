@@ -197,3 +197,19 @@ def test_read_parquet_evolved_schema_drift(ray_session, tmp_path):
     # column pruning still works across the drift
     pruned = read_parquet_evolved(str(d), columns=["id", "extra"]).to_pandas()
     assert sorted(pruned.columns) == ["extra", "id"]
+
+
+def test_read_parquet_evolved_all_absent_column(ray_session, tmp_path):
+    """Requesting a column no file has yet returns nulls (the evolution
+    contract), and pruning reads narrow even for the null-only files."""
+    import pyarrow.parquet as pq2
+
+    from ulp_ray.sources.io import read_parquet_evolved
+
+    d = tmp_path / "drift2"
+    d.mkdir()
+    pq2.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64())}), d / "a.parquet"
+    )
+    out = read_parquet_evolved(str(d), columns=["id", "future"]).to_pandas()
+    assert out["future"].isna().all() and len(out) == 2

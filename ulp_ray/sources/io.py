@@ -97,26 +97,43 @@ def read_parquet_evolved(path_or_glob: str, columns: list[str] | None = None):
     from ..functions.schema_merge import unify_arrow_schemas
     from ..stages.normalize import normalize_to_schema
 
+    import pyarrow as pa
+
     files = expand_glob(path_or_glob)
     if not files:
         raise FileNotFoundError(path_or_glob)
-    unified = unify_arrow_schemas([pq.read_schema(f) for f in files])
+    # one footer read per file; metadata stripped so logically-identical
+    # schemas group together even when writers differ (pandas blob etc.)
+    schemas = [pq.read_schema(f).remove_metadata() for f in files]
+    unified = unify_arrow_schemas(schemas)
     if columns:
-        import pyarrow as pa
-
-        unified = pa.schema([unified.field(c) for c in columns])
+        fields = []
+        for c in columns:
+            # a column absent from EVERY file is still a legal request —
+            # the evolution contract says missing columns become null
+            idx = unified.get_field_index(c)
+            fields.append(
+                unified.field(idx) if idx >= 0 else pa.field(c, pa.null())
+            )
+        unified = pa.schema(fields)
     # one dataset per distinct file schema (files sharing a schema read
     # together), normalized to the unified schema, then unioned — the
     # union is planning-only; execution stays one streaming pass
-    by_schema: dict[str, list[str]] = {}
-    for f in files:
-        by_schema.setdefault(str(pq.read_schema(f)), []).append(f)
+    by_schema: dict[str, tuple[pa.Schema, list[str]]] = {}
+    for f, s in zip(files, schemas):
+        by_schema.setdefault(str(s), (s, []))[1].append(f)
     want = [f.name for f in unified]
     parts = []
-    for group in by_schema.values():
-        present = set(pq.read_schema(group[0]).names)
+    for fschema, group in by_schema.values():
+        present = set(fschema.names)
         cols = [c for c in want if c in present]  # prune at the read
-        ds = ray.data.read_parquet(group, columns=cols or None)
+        if not cols:
+            # no requested column exists in this generation: read ONE
+            # narrow column for the row count instead of the whole files
+            cols = [fschema.field(0).name]
+        ds = ray.data.read_parquet(
+            group, columns=cols, override_num_blocks=len(group)
+        )
         parts.append(normalize_to_schema(ds, unified))
     out = parts[0]
     for p in parts[1:]:
