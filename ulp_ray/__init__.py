@@ -19,10 +19,14 @@ Layout
   reference's pattern-matching core, ``src/lib.rs:35-93``).
 - ``stages/`` — Ray Data stages: parse (map_batches over zero-copy
   Arrow), enrich (broadcast-taxonomy actor pool), route fan-out,
-  salted/partial aggregation, dedup family, similarity search,
-  multimodal plumbing.
+  salted/partial aggregation (+ grouped top-k / quantile / pivot),
+  dedup family, similarity search + k-means, as-of and interval joins,
+  windows, deterministic splits/sampling, sketches, multimodal
+  plumbing, sink compaction — per-key co-grouping always goes through
+  ``_bucket.py`` hash buckets, never one Python callback per key.
 - ``pipelines/`` — end-to-end flagship pipeline with per-partition
-  lineage manifests and resume-from-checkpoint.
+  lineage manifests and resume-from-checkpoint; two-phase NDJSON
+  ingest (ulp-artifact interop); corpus curation.
 - ``state/`` — run manifest / lineage records.
 - ``fixtures.py`` — deterministic synthetic transcript generator with
   golden counts (oracle by construction).
