@@ -74,3 +74,42 @@ def test_bucketed_join_rejects_column_overlap(sides, ray_session):
     orders_ds, _ = sides
     with pytest.raises(ValueError, match="overlapping"):
         bucketed_hash_join(orders_ds, orders_ds, on="o_custkey")
+
+
+def test_key_hash_canonicalization_properties():
+    """The bucket hasher must assign the same hash to the same logical
+    key regardless of the column's physical representation (int64 vs
+    null-promoted float64, chunking) — hypothesis fuzz."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ulp_ray.stages._bucket import key_hash_u64
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(st.integers(-(2**40), 2**40), st.none()),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def prop(vals):
+        no_null = [v if v is not None else 0 for v in vals]
+        as_int = pa.array(no_null, pa.int64())
+        as_float = pa.array([float(v) for v in no_null], pa.float64())
+        with_null = pa.array(vals, pa.int64())  # forces the null path
+        h_int = key_hash_u64(as_int)
+        h_float = key_hash_u64(as_float)
+        assert (h_int == h_float).all()  # int64 vs float64 same key
+        # non-null positions hash the same whether or not the column
+        # carries nulls (the null-promotion hazard)
+        h_null = key_hash_u64(with_null)
+        mask = np.array([v is not None for v in vals])
+        assert (h_null[mask] == h_int[mask]).all()
+        # chunked == contiguous
+        if len(vals) > 1:
+            chunked = pa.chunked_array([as_int[:1], as_int[1:]])
+            assert (key_hash_u64(chunked) == h_int).all()
+
+    prop()

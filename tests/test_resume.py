@@ -176,3 +176,18 @@ def test_text_col_change_invalidates_checkpoints(ray_session, tmp_path_factory):
     r2 = run_pipeline(d, out, partitions=1, resume=True, text_col="alt")
     assert r2.partitions_skipped == 0 and r2.partitions_run == 1
     assert {r["rule"] for r in r2.counts.to_pylist()} == {"tool_call"}
+
+
+def test_deleted_schema_partial_forces_recompute(ray_session, data_dir, tmp_path_factory):
+    """A manifest whose schema partial was deleted is not trustworthy —
+    the partition recomputes and the sidecar set is rebuilt."""
+    from ulp_ray.pipelines.flagship import run_pipeline
+
+    out = str(tmp_path_factory.mktemp("sp_run"))
+    run_pipeline(data_dir, out, partitions=2, resume=False)
+    os.remove(os.path.join(out, "_schemas_partials", "partition=1.json"))
+    res = run_pipeline(data_dir, out, partitions=2, resume=True)
+    assert res.partitions_run == 1 and res.partitions_skipped == 1
+    assert os.path.isfile(
+        os.path.join(out, "_schemas_partials", "partition=1.json")
+    )

@@ -234,3 +234,22 @@ def test_grok_timestamp_and_hex():
     )
     assert out["c"].to_pylist() == [31]
     assert out["t"].to_pylist()[0].year == 2024
+
+
+def test_grok_custom_pattern_definitions():
+    from ulp_ray.rules import RuleRegistry, grok_rule
+
+    reg = RuleRegistry(
+        [
+            grok_rule(
+                "sess",
+                r"session %{SESSION_ID:sid} opened",
+                extra_patterns={"SESSION_ID": r"[A-Z]{2}-\d{4}"},
+            )
+        ]
+    )
+    out = reg.compile().parse_column(
+        pa.array(["session AB-1234 opened", "session nope opened"])
+    )
+    assert out["rule"].to_pylist() == ["sess", "_unmatched"]
+    assert out["sid"].to_pylist()[0] == "AB-1234"

@@ -231,18 +231,22 @@ _GROK_TYPES: dict[str, str] = {
 _GROK_RE = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
 
 
-def expand_grok(grok: str) -> tuple[str, tuple[Capture, ...]]:
+def expand_grok(
+    grok: str, extra_patterns: dict[str, str] | None = None
+) -> tuple[str, tuple[Capture, ...]]:
     """Expand ``%{ALIAS:field}`` / ``%{ALIAS}`` / ``%{ALIAS:field:type}``
     into a plain regex with ``(?P<field>…)`` groups plus the typed capture
     list. Text outside ``%{…}`` is kept verbatim (regex semantics, like
-    grok). Unknown aliases raise."""
+    grok). ``extra_patterns`` adds/overrides alias definitions (the
+    logstash custom-patterns extension point). Unknown aliases raise."""
     captures: list[Capture] = []
+    vocab = {**GROK_PATTERNS, **(extra_patterns or {})}
 
     def sub(m: re.Match) -> str:
         alias, name, typ = m.group(1), m.group(2), m.group(3)
-        if alias not in GROK_PATTERNS:
+        if alias not in vocab:
             raise ValueError(f"unknown grok alias %{{{alias}}}")
-        pat = GROK_PATTERNS[alias]
+        pat = vocab[alias]
         if name is None:
             return f"(?:{pat})"
         captures.append(Capture(name, typ or _GROK_TYPES.get(alias, "str")))
@@ -257,12 +261,13 @@ def grok_rule(
     grok: str,
     route: str | None = None,
     prefilter: str | None = None,
+    extra_patterns: dict[str, str] | None = None,
 ) -> Rule:
     """Build a :class:`Rule` from grok syntax — the declarative form
     log-pipeline users write; compiles down to the same typed-capture
     regex machinery (and serializes through ``to_json`` as the expanded
     rule)."""
-    pattern, captures = expand_grok(grok)
+    pattern, captures = expand_grok(grok, extra_patterns)
     return Rule(
         name=name,
         pattern=pattern,
