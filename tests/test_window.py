@@ -73,3 +73,41 @@ def test_session_windows_gap_split(ray_session):
     assert len(by_user[1]) == 2
     assert sorted(s["n_events"] for s in by_user[1]) == [2, 2]
     assert len(by_user[2]) == 1
+
+
+def test_running_aggregate_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ulp_ray.stages.window import running_aggregate
+
+    rng = np.random.default_rng(13)
+    n = 20_000
+    tbl = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 5_000, n), pa.int64()),
+            "o": pa.array(rng.permutation(n), pa.int64()),
+            "v": pa.array(rng.integers(0, 100, n), pa.int64()),
+        }
+    )
+    out = (
+        running_aggregate(
+            ray.data.from_arrow(tbl), "k", "o", "v", "cumsum", out_col="rs"
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    df = tbl.to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    df["rs"] = df.groupby("k")["v"].cumsum()
+    pd.testing.assert_frame_equal(out[df.columns.tolist()], df)
+    # cumcount is 1-based like SQL COUNT(*) OVER
+    cc = (
+        running_aggregate(
+            ray.data.from_arrow(tbl), "k", "o", "v", "cumcount", out_col="n"
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+    )
+    assert cc.groupby("k")["n"].first().eq(1).all()

@@ -31,7 +31,12 @@ import pyarrow.compute as pc
 from .._env import remote_env
 from .aggregate import count_rollup
 
-__all__ = ["tumbling_counts", "sliding_counts", "session_windows"]
+__all__ = [
+    "tumbling_counts",
+    "sliding_counts",
+    "session_windows",
+    "running_aggregate",
+]
 
 
 def tumbling_counts(ds, keys: list[str], ts_col: str = "ts", unit: str = "hour"):
@@ -74,6 +79,53 @@ def sliding_counts(
 
     out = ds.map_batches(explode, batch_format="pyarrow", **remote_env())
     return count_rollup(out, keys + ["window_start"])
+
+
+def running_aggregate(
+    ds,
+    key: str,
+    order_col: str,
+    value_col: str,
+    agg: str = "cumsum",
+    out_col: str | None = None,
+    buckets: int = 64,
+):
+    """Per-key running aggregate in ``order_col`` order — the SQL
+    ``SUM(v) OVER (PARTITION BY key ORDER BY o ROWS UNBOUNDED
+    PRECEDING)`` shape (``agg``: ``cumsum`` / ``cumcount`` / ``cummax`` /
+    ``cummin``).
+
+    Same co-group contract as :func:`session_windows`: a key's whole
+    history lands in one hash bucket; the in-bucket body is one sort +
+    one C-level ``pandas.groupby`` cumulative kernel over all of the
+    bucket's keys. Output: input columns + ``out_col``."""
+    if agg not in ("cumsum", "cumcount", "cummax", "cummin"):
+        raise ValueError(f"unsupported running agg {agg!r}")
+    name = out_col or f"{agg}_{value_col}"
+
+    from ._bucket import bucket_column
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", bucket_column(batch, [key], buckets)
+        )
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order_col], kind="stable").drop(
+            columns="__bucket"
+        )
+        grouped = g.groupby(key, sort=False, dropna=False)[value_col]
+        if agg == "cumcount":
+            g[name] = grouped.cumcount() + 1  # SQL COUNT(*) is 1-based
+        else:
+            g[name] = getattr(grouped, agg)()
+        return g
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", **remote_env())
+        .groupby("__bucket")
+        .map_groups(run, batch_format="pandas", **remote_env())
+    )
 
 
 def session_windows(
