@@ -213,3 +213,47 @@ def test_read_parquet_evolved_all_absent_column(ray_session, tmp_path):
     )
     out = read_parquet_evolved(str(d), columns=["id", "future"]).to_pandas()
     assert out["future"].isna().all() and len(out) == 2
+
+
+def test_read_parquet_evolved_no_i32_clamp(ray_session, tmp_path):
+    """Widening int64 -> float64 must NOT clamp to i32 (the cast
+    matrix's saturation is conformance behavior, not for this reader)."""
+    import pyarrow.parquet as pq2
+
+    from ulp_ray.sources.io import read_parquet_evolved
+
+    d = tmp_path / "drift3"
+    d.mkdir()
+    big = 2**40
+    pq2.write_table(
+        pa.table({"id": pa.array([1], pa.int64()), "v": pa.array([big], pa.int64())}),
+        d / "a.parquet",
+    )
+    pq2.write_table(
+        pa.table({"id": pa.array([2], pa.int64()), "v": pa.array([0.5], pa.float64())}),
+        d / "b.parquet",
+    )
+    out = read_parquet_evolved(str(d)).to_pandas().sort_values("id")
+    assert out["v"].tolist() == [float(big), 0.5]
+
+
+def test_read_parquet_evolved_only_absent_columns(ray_session, tmp_path):
+    """Requesting ONLY columns this generation lacks reads a narrow
+    anchor column and yields all-null rows of the right length."""
+    import pyarrow.parquet as pq2
+
+    from ulp_ray.sources.io import read_parquet_evolved
+
+    d = tmp_path / "drift4"
+    d.mkdir()
+    pq2.write_table(
+        pa.table(
+            {
+                "text": pa.array(["long payload"] * 3, pa.string()),
+                "id": pa.array([1, 2, 3], pa.int64()),
+            }
+        ),
+        d / "a.parquet",
+    )
+    out = read_parquet_evolved(str(d), columns=["future"]).to_pandas()
+    assert len(out) == 3 and out["future"].isna().all()

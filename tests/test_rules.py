@@ -253,3 +253,24 @@ def test_grok_custom_pattern_definitions():
     )
     assert out["rule"].to_pylist() == ["sess", "_unmatched"]
     assert out["sid"].to_pylist()[0] == "AB-1234"
+
+
+def test_grok_nested_custom_patterns_expand_recursively():
+    from ulp_ray.rules import RuleRegistry, expand_grok, grok_rule
+
+    reg = RuleRegistry(
+        [
+            grok_rule(
+                "sess2",
+                r"session %{SESSION_ID:sid} opened",
+                extra_patterns={"SESSION_ID": r"%{WORD}-%{INT}"},
+            )
+        ]
+    )
+    out = reg.compile().parse_column(pa.array(["session ab-12 opened"]))
+    assert out["sid"].to_pylist() == ["ab-12"]
+    # cycles raise instead of looping
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cycle"):
+        expand_grok("%{A:x}", extra_patterns={"A": "%{B}", "B": "%{A}"})

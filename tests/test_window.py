@@ -111,3 +111,50 @@ def test_running_aggregate_matches_pandas(ray_session):
         .sort_values(["k", "o"])
     )
     assert cc.groupby("k")["n"].first().eq(1).all()
+
+
+def test_running_aggregate_sql_null_semantics(ray_session):
+    """Nulls contribute nothing, the running value carries through null
+    rows, and rows before a key's first non-null stay null — SQL window
+    semantics, not pandas cum* NaN propagation."""
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "k": pa.array([1] * 4 + [2] * 2, pa.int64()),
+            "o": pa.array([0, 1, 2, 3, 0, 1], pa.int64()),
+            "v": pa.array([None, 1.0, None, 2.0, None, None], pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    from ulp_ray.stages.window import running_aggregate
+
+    rs = (
+        running_aggregate(ds, "k", "o", "v", "cumsum", out_col="rs")
+        .to_pandas()
+        .sort_values(["k", "o"])["rs"]
+        .tolist()
+    )
+    assert rs[0] != rs[0]  # leading null -> NULL (NaN)
+    assert rs[1:4] == [1.0, 1.0, 3.0]  # carry through the null row
+    assert all(x != x for x in rs[4:])  # all-null key stays NULL
+    mx = (
+        running_aggregate(ds, "k", "o", "v", "cummax", out_col="mx")
+        .to_pandas()
+        .sort_values(["k", "o"])["mx"]
+        .tolist()
+    )
+    assert mx[0] != mx[0] and mx[1:4] == [1.0, 1.0, 2.0]
+
+
+def test_running_aggregate_out_col_collision_rejected(ray_session):
+    import pytest as _pytest
+    import ray.data
+
+    from ulp_ray.stages.window import running_aggregate
+
+    ds = ray.data.from_arrow(
+        pa.table({"k": [1], "o": [1], "v": [1]})
+    )
+    with _pytest.raises(ValueError, match="collides"):
+        running_aggregate(ds, "k", "o", "v", "cumsum", out_col="k")

@@ -238,7 +238,9 @@ def expand_grok(
     into a plain regex with ``(?P<field>…)`` groups plus the typed capture
     list. Text outside ``%{…}`` is kept verbatim (regex semantics, like
     grok). ``extra_patterns`` adds/overrides alias definitions (the
-    logstash custom-patterns extension point). Unknown aliases raise."""
+    logstash custom-patterns extension point); alias bodies may reference
+    other aliases — expansion recurses until stable (a cycle raises).
+    Unknown aliases raise."""
     captures: list[Capture] = []
     vocab = {**GROK_PATTERNS, **(extra_patterns or {})}
 
@@ -252,7 +254,14 @@ def expand_grok(
         captures.append(Capture(name, typ or _GROK_TYPES.get(alias, "str")))
         return f"(?P<{name}>{pat})"
 
-    pattern = _GROK_RE.sub(sub, grok)
+    pattern = grok
+    for _ in range(10):  # custom alias bodies may nest further aliases
+        expanded = _GROK_RE.sub(sub, pattern)
+        if expanded == pattern:
+            break
+        pattern = expanded
+    else:
+        raise ValueError("grok expansion did not terminate (alias cycle?)")
     return pattern, tuple(captures)
 
 

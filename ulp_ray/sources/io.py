@@ -128,13 +128,29 @@ def read_parquet_evolved(path_or_glob: str, columns: list[str] | None = None):
         present = set(fschema.names)
         cols = [c for c in want if c in present]  # prune at the read
         if not cols:
-            # no requested column exists in this generation: read ONE
-            # narrow column for the row count instead of the whole files
-            cols = [fschema.field(0).name]
+            # no requested column exists in this generation: read one
+            # NARROW anchor column for the row count — prefer a
+            # fixed-width field over a potentially huge string/binary one
+            anchor = min(
+                fschema,
+                key=lambda f: 0
+                if pa.types.is_primitive(f.type)
+                and not (
+                    pa.types.is_string(f.type)
+                    or pa.types.is_large_string(f.type)
+                    or pa.types.is_binary(f.type)
+                    or pa.types.is_large_binary(f.type)
+                )
+                else 1,
+            )
+            cols = [anchor.name]
         ds = ray.data.read_parquet(
             group, columns=cols, override_num_blocks=len(group)
         )
-        parts.append(normalize_to_schema(ds, unified))
+        # reference_quirks=False: the cast matrix's i32 saturation is
+        # conformance behavior for log parsing — here it would corrupt
+        # int64 values > 2^31 during the int→float widening
+        parts.append(normalize_to_schema(ds, unified, reference_quirks=False))
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)

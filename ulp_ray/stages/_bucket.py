@@ -27,6 +27,7 @@ __all__ = [
     "key_hash_u64",
     "combine_hash",
     "bucket_column",
+    "with_bucket",
     "arrow_type_of",
 ]
 
@@ -70,6 +71,20 @@ def key_hash_u64(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
 def combine_hash(h: np.ndarray, hc: np.ndarray) -> np.ndarray:
     """Order-sensitive combine of two hash streams (uint64 wraparound)."""
     return h * _FNV + hc
+
+
+def with_bucket(ds, on_cols: list[str], buckets: int, name: str = "__bucket"):
+    """The standard co-group prologue: append ``hash(keys) % buckets``
+    as ``name`` via one map_batches pass (every bucketed stage shares
+    this; keep the contract in one place)."""
+    from .._env import remote_env
+
+    cols = list(on_cols)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(name, bucket_column(batch, cols, buckets))
+
+    return ds.map_batches(fn, batch_format="pyarrow", **remote_env())
 
 
 def arrow_type_of(t) -> pa.DataType:

@@ -219,15 +219,10 @@ def grouped_topk(
     if partials.count() > driver_fold_max_rows:
         # co-group partials by key-hash bucket: the in-bucket fold is the
         # same C-level sort+head over all of the bucket's keys at once
-        from ._bucket import bucket_column
-
-        def add_bucket(batch: pa.Table) -> pa.Table:
-            return batch.append_column(
-                "__bucket", bucket_column(batch, key_list, 256)
-            )
+        from ._bucket import with_bucket
 
         return (
-            partials.map_batches(add_bucket, batch_format="pyarrow", **remote_env())
+            with_bucket(partials, key_list, 256)
             .groupby("__bucket")
             .map_groups(
                 lambda g: local_topk(g).drop(columns="__bucket"),

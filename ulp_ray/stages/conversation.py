@@ -110,13 +110,10 @@ def conversation_stats(ds, driver_fold_max_rows: int = 2_000_000):
     # distributed fold: co-group the partials by hash bucket (a hot conv
     # contributes ≤ #blocks partial rows; finalize's pyarrow group_by is
     # C-level over the whole bucket — no per-conv Python)
-    from ._bucket import bucket_column
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column("__bucket", bucket_column(batch, ["conv_id"], 256))
+    from ._bucket import with_bucket
 
     return (
-        partials.map_batches(add_bucket, batch_format="pyarrow", **remote_env())
+        with_bucket(partials, ["conv_id"], 256)
         .groupby("__bucket")
         .map_groups(
             lambda g: finalize(g.drop_columns(["__bucket"])),
@@ -131,12 +128,7 @@ def turn_gaps(ds, buckets: int = 64):
     previous turn; first turn → null). Order established per bucket by a
     single (conv_id, turn_idx) sort; conversation boundaries mask the
     cross-conversation diffs."""
-    from ._bucket import bucket_column
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "__bucket", bucket_column(batch, ["conv_id"], buckets)
-        )
+    from ._bucket import with_bucket
 
     def gaps(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
@@ -155,7 +147,7 @@ def turn_gaps(ds, buckets: int = 64):
         )
 
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow", **remote_env())
+        with_bucket(ds, ["conv_id"], buckets)
         .groupby("__bucket")
         .map_groups(gaps, batch_format="pandas", **remote_env())
     )
@@ -183,12 +175,7 @@ def assemble_conversations(ds, buckets: int = 64):
         ]
     )
 
-    from ._bucket import bucket_column
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "__bucket", bucket_column(batch, ["conv_id"], buckets)
-        )
+    from ._bucket import with_bucket
 
     def assemble(g: pd.DataFrame) -> pa.Table:
         # one bucket = many conversations: sort once, then slice the
@@ -227,7 +214,7 @@ def assemble_conversations(ds, buckets: int = 64):
         )
 
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow", **remote_env())
+        with_bucket(ds, ["conv_id"], buckets)
         .groupby("__bucket")
         .map_groups(assemble, batch_format="pandas", **remote_env())
     )

@@ -270,18 +270,13 @@ def _dedup_pair_rows(pair_ds, key_cols: list[str], n_buckets: int = 64):
     """Distinct pair rows via hash-bucket co-grouping + one vectorized
     ``drop_duplicates`` per bucket (≈``n_buckets`` Python callbacks
     total; keeps every non-key column of the first occurrence)."""
-    from ._bucket import bucket_column
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "__bucket", bucket_column(batch, key_cols, n_buckets)
-        )
+    from ._bucket import with_bucket
 
     def drop(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(key_cols).drop(columns="__bucket")
 
     return (
-        pair_ds.map_batches(add_bucket, batch_format="pyarrow", **remote_env())
+        with_bucket(pair_ds, key_cols, n_buckets)
         .groupby("__bucket")
         .map_groups(drop, batch_format="pandas", **remote_env())
     )

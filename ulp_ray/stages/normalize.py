@@ -28,14 +28,25 @@ _I32_MAX = float(2**31 - 1)
 _I32_MIN = float(-(2**31))
 
 
-def cast_column(col: pa.ChunkedArray | pa.Array, target: pa.DataType) -> pa.Array:
-    """Cast one column with the reference's conversion matrix semantics."""
+def cast_column(
+    col: pa.ChunkedArray | pa.Array,
+    target: pa.DataType,
+    reference_quirks: bool = True,
+) -> pa.Array:
+    """Cast one column with the reference's conversion matrix semantics.
+
+    ``reference_quirks=False`` drops the reference's lossy corner cases
+    (the int→float i32 saturation) for callers where they would be data
+    corruption rather than conformance — e.g. the schema-evolution
+    Parquet reader widening an int64 column."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     src = col.type
     if src == target:
         return col
     if pa.types.is_integer(src) and pa.types.is_floating(target):
+        if not reference_quirks:
+            return pc.cast(col, target)
         # i32 saturation quirk (types.rs:109-121)
         f = pc.cast(col, pa.float64())
         f = pc.min_element_wise(f, _I32_MAX)
@@ -95,12 +106,15 @@ def cast_column(col: pa.ChunkedArray | pa.Array, target: pa.DataType) -> pa.Arra
         return pa.array(out, type=target)
 
 
-def normalize_to_schema(ds, schema: pa.Schema, strict: bool = False):
+def normalize_to_schema(
+    ds, schema: pa.Schema, strict: bool = False, reference_quirks: bool = True
+):
     """Cast every batch to ``schema`` (column order included).
 
     ``strict=True`` reproduces the reference's error-on-unknown-key
     behavior: a batch column absent from the target schema raises instead
-    of being dropped."""
+    of being dropped. ``reference_quirks=False`` disables the lossy
+    conformance corners (see :func:`cast_column`)."""
 
     def norm(batch: pa.Table) -> pa.Table:
         if strict:
@@ -112,7 +126,9 @@ def normalize_to_schema(ds, schema: pa.Schema, strict: bool = False):
         cols = {}
         for field in schema:
             if field.name in batch.column_names:
-                cols[field.name] = cast_column(batch[field.name], field.type)
+                cols[field.name] = cast_column(
+                    batch[field.name], field.type, reference_quirks
+                )
             else:
                 cols[field.name] = pa.nulls(len(batch), type=field.type)
         return pa.table(cols)

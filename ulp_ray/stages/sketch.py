@@ -190,13 +190,10 @@ def grouped_quantile_sketch(
 
     # final read-off: the histogram is tiny (keys × bins) — co-group by
     # key hash bucket, vectorized within
-    from ._bucket import bucket_column
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column("__bucket", bucket_column(batch, key_list, 64))
+    from ._bucket import with_bucket
 
     return (
-        hist.map_batches(add_bucket, batch_format="pyarrow", **remote_env())
+        with_bucket(hist, key_list, 64)
         .groupby("__bucket")
         .map_groups(quantiles, batch_format="pandas", **remote_env())
     )

@@ -93,7 +93,9 @@ def running_aggregate(
     """Per-key running aggregate in ``order_col`` order — the SQL
     ``SUM(v) OVER (PARTITION BY key ORDER BY o ROWS UNBOUNDED
     PRECEDING)`` shape (``agg``: ``cumsum`` / ``cumcount`` / ``cummax`` /
-    ``cummin``).
+    ``cummin``), including SQL's null handling: a null value contributes
+    nothing and the running value CARRIES through the null row (pandas
+    cum* alone would emit NaN there).
 
     Same co-group contract as :func:`session_windows`: a key's whole
     history lands in one hash bucket; the in-bucket body is one sort +
@@ -102,27 +104,37 @@ def running_aggregate(
     if agg not in ("cumsum", "cumcount", "cummax", "cummin"):
         raise ValueError(f"unsupported running agg {agg!r}")
     name = out_col or f"{agg}_{value_col}"
-
-    from ._bucket import bucket_column
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "__bucket", bucket_column(batch, [key], buckets)
+    existing = ds.schema().names
+    if name in existing:
+        raise ValueError(
+            f"out_col {name!r} collides with an input column — pass out_col"
         )
+
+    from ._bucket import with_bucket
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, order_col], kind="stable").drop(
             columns="__bucket"
         )
-        grouped = g.groupby(key, sort=False, dropna=False)[value_col]
+        grouped = g.groupby(key, sort=False, dropna=False)
         if agg == "cumcount":
-            g[name] = grouped.cumcount() + 1  # SQL COUNT(*) is 1-based
+            g[name] = grouped[value_col].cumcount() + 1  # SQL COUNT(*): 1-based
+        elif agg == "cumsum":
+            # null contributes 0 and the running value carries; rows
+            # BEFORE a key's first non-null stay null (SQL SUM OVER)
+            s = g[value_col]
+            filled = s.fillna(0).groupby(g[key], sort=False, dropna=False).cumsum()
+            seen = s.notna().groupby(g[key], sort=False, dropna=False).cummax()
+            g[name] = filled.where(seen)
         else:
-            g[name] = getattr(grouped, agg)()
+            # cummax/cummin skip NaN in pandas but leave NaN AT the null
+            # row — forward-fill within the key to carry the running value
+            res = getattr(grouped[value_col], agg)()
+            g[name] = res.groupby(g[key], sort=False, dropna=False).ffill()
         return g
 
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow", **remote_env())
+        with_bucket(ds, [key], buckets)
         .groupby("__bucket")
         .map_groups(run, batch_format="pandas", **remote_env())
     )
@@ -135,12 +147,7 @@ def session_windows(
     ``session_start``, ``session_end``, ``n_events``."""
     gap = np.timedelta64(gap_s, "s")
 
-    from ._bucket import bucket_column
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "__bucket", bucket_column(batch, [key], buckets)
-        )
+    from ._bucket import with_bucket
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
         # whole bucket at once: sort by (key, ts), split on key change OR
@@ -170,7 +177,7 @@ def session_windows(
         return out
 
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow", **remote_env())
+        with_bucket(ds, [key], buckets)
         .groupby("__bucket")
         .map_groups(sessionize, batch_format="pandas", **remote_env())
     )
