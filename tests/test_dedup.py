@@ -220,3 +220,39 @@ def test_exact_dedup_null_values_form_a_group(ray_session):
         key=lambda t: (t[0] is not None, t),
     )
     assert got == [(None, 1), ("a", 3)]
+
+
+@pytest.mark.slow
+def test_minhash_bucketed_verify_scales_without_driver_texts(ray_session, monkeypatch):
+    """20k-doc corpus through the distributed verify path with the
+    driver-side verifier FORBIDDEN (monkeypatched to raise): candidate
+    texts must reach the verifier via the bucketed joins only."""
+    import ray.data
+
+    import ulp_ray.stages.dedup as dmod
+
+    def _forbidden(*a, **k):
+        raise AssertionError("driver-side verify must not run on the scale path")
+
+    monkeypatch.setattr(dmod, "_verify_pairs_driver", _forbidden)
+
+    rng = np.random.default_rng(19)
+    vocab = np.array([f"w{j}" for j in range(5000)])
+    n = 20_000
+    texts = []
+    for i in range(n):
+        if i % 1000 == 1:  # planted near-dup of the previous doc
+            texts.append(texts[-1] + " extra")
+            continue
+        texts.append(" ".join(vocab[rng.integers(0, len(vocab), 25)]))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = dmod.minhash_dedup(
+        ray.data.from_arrow(tbl), threshold=0.8, verify="auto",
+        max_driver_candidates=0,  # force the bucketed path at any size
+    )
+    assert out.num_rows > 0  # the planted template family verifies
