@@ -25,9 +25,6 @@ corpus; documented per function).
 
 from __future__ import annotations
 
-import hashlib
-from typing import Sequence
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
