@@ -76,3 +76,41 @@ def test_curation_with_splits(ray_session, tmp_path):
     assert os.path.isdir(os.path.join(out, "splits", "train"))
     with open(os.path.join(out, "report.json")) as f:
         assert json.load(f)["split_rows"] == report.split_rows
+
+
+def test_curation_near_dup_disabled(ray_session):
+    """near_dup=False = analyze → quality filter → exact dedup only (the
+    SQL-expressible composition the curate_documents_sql oracle pins)."""
+    import ray.data
+
+    ds = ray.data.from_arrow(_docs())
+    curated, report, _ = curate_documents(ds, min_quality=0.2, near_dup=False)
+    ids = sorted(r["doc_id"] for r in curated.take_all())
+    assert ids == [0, 2, 4]  # near-dup 2 SURVIVES; exact dups + junk gone
+    assert report.near_dup_pairs == 0
+    assert report.rows_out == 3
+
+
+def test_curation_pair_set_never_touches_driver(ray_session, monkeypatch):
+    """The near-dup pair set must stay a Dataset end-to-end inside
+    curation: with Dataset.take_all/to_pandas AND the driver-side verify
+    all forbidden, the pipeline must still produce the same survivors
+    (losers are dropped by the bucketed anti-join, not a driver id set)."""
+    import ray.data
+
+    import ulp_ray.stages.dedup as dmod
+
+    def _forbidden(*a, **k):  # noqa: ANN001
+        raise AssertionError("pair set / texts must not materialize on the driver")
+
+    monkeypatch.setattr(dmod, "_verify_pairs_driver", _forbidden)
+    monkeypatch.setattr(ray.data.Dataset, "take_all", _forbidden)
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", _forbidden)
+
+    ds = ray.data.from_arrow(_docs())
+    curated, report, _ = curate_documents(
+        ds, min_quality=0.2, jaccard_threshold=0.6, verify="bucketed"
+    )
+    monkeypatch.undo()
+    assert sorted(r["doc_id"] for r in curated.take_all()) == [0, 4]
+    assert report.near_dup_pairs >= 1

@@ -71,7 +71,7 @@ def test_minhash_signature_shape(docs_ds):
 
 def test_minhash_dedup_finds_planted_pairs(docs_ds):
     out = minhash_dedup(docs_ds, num_perm=64, bands=16, threshold=0.5)
-    pairs = {(r["id_a"], r["id_b"]) for r in out.to_pylist()}
+    pairs = {(r["id_a"], r["id_b"]) for r in out.take_all()}
     assert (0, 1) in pairs and (0, 5) in pairs and (1, 5) in pairs
     assert (0, 2) in pairs  # near dup above 0.5 jaccard
     assert all(a != 3 and b != 3 for a, b in pairs)
@@ -109,7 +109,7 @@ def embed_ds(ray_session):
 
 def test_embedding_neardup_exact(embed_ds):
     out = embedding_neardup(embed_ds, threshold=0.99)
-    pairs = {(r["id_a"], r["id_b"]) for r in out.to_pylist()}
+    pairs = {(r["id_a"], r["id_b"]) for r in out.take_all()}
     assert (0, 1) in pairs and (2, 7) in pairs
     assert len(pairs) == 2
 
@@ -150,7 +150,7 @@ def test_minhash_dedup_short_docs_no_crash(ray_session):
         }
     )
     out = minhash_dedup(ray.data.from_arrow(tbl), threshold=0.8)
-    got = {(r["id_a"], r["id_b"]) for r in out.to_pylist()}
+    got = {(r["id_a"], r["id_b"]) for r in out.take_all()}
     assert (0, 1) in got  # the planted exact dup still found
     assert (2, 3) in got  # identical short docs dedup deterministically
 
@@ -173,8 +173,11 @@ def test_minhash_bucketed_verify_matches_driver(ray_session):
     ds = ray.data.from_arrow(tbl)
     drv = minhash_dedup(ds, threshold=0.8, verify="driver")
     bkt = minhash_dedup(ds, threshold=0.8, verify="bucketed")
-    assert drv.to_pylist() == bkt.to_pylist()
-    assert drv.num_rows > 0
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731 — Datasets are unordered
+    drv_rows = sorted(({**r} for r in drv.take_all()), key=key)
+    bkt_rows = sorted(({**r} for r in bkt.take_all()), key=key)
+    assert drv_rows == bkt_rows
+    assert len(drv_rows) > 0
 
 
 def test_embedding_neardup_auto_routes_to_lsh(ray_session):
@@ -196,8 +199,8 @@ def test_embedding_neardup_auto_routes_to_lsh(ray_session):
     ds = ray.data.from_arrow(tbl)
     exact = embedding_neardup(ds, threshold=0.95)
     routed = embedding_neardup(ds, threshold=0.95, max_exact_rows=10)  # forces LSH
-    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.to_pylist()}
-    routed_pairs = {(r["id_a"], r["id_b"]) for r in routed.to_pylist()}
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.take_all()}
+    routed_pairs = {(r["id_a"], r["id_b"]) for r in routed.take_all()}
     assert (0, 1) in exact_pairs
     assert routed_pairs <= exact_pairs  # LSH recall < 1, precision exact
     assert (0, 1) in routed_pairs  # identical-direction pair survives bucketing
@@ -255,4 +258,45 @@ def test_minhash_bucketed_verify_scales_without_driver_texts(ray_session, monkey
         ray.data.from_arrow(tbl), threshold=0.8, verify="auto",
         max_driver_candidates=0,  # force the bucketed path at any size
     )
-    assert out.num_rows > 0  # the planted template family verifies
+    assert out.count() > 0  # the planted template family verifies
+
+
+def test_embedding_lsh_blocked_verify_identical_at_any_block(embed_ds):
+    """The row-block × bucket tiling must return the identical pair set
+    at any block size (block=1 exercises every tiling edge)."""
+    full = embedding_neardup_lsh(embed_ds, threshold=0.99, n_planes=6).take_all()
+    tiny = embedding_neardup_lsh(
+        embed_ds, threshold=0.99, n_planes=6, verify_block_rows=1
+    ).take_all()
+    k = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    assert sorted(({**r} for r in full), key=k) == sorted(({**r} for r in tiny), key=k)
+    assert len(full) > 0
+
+
+def test_minhash_threshold_boundary_consistent(ray_session):
+    """Driver and bucketed verify must agree at the threshold boundary:
+    both filter on the RAW jaccard, rounding only the output column."""
+    import ray.data
+
+    # two docs whose jaccard is exactly a non-representable fraction near
+    # a chosen threshold: use the computed raw value itself as threshold
+    from ulp_ray.stages.dedup import ngram_jaccard
+
+    a, b = BASE, BASE.replace("quick", "speedy")
+    raw = ngram_jaccard(a, b, 5)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([a, b], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    for verify in ("driver", "bucketed"):
+        # threshold == raw → pair kept by >= in BOTH paths
+        keep = minhash_dedup(ds, threshold=raw, verify=verify, bands=32).take_all()
+        assert [(r["id_a"], r["id_b"]) for r in keep] == [(0, 1)], verify
+        # threshold just above raw → dropped by both
+        drop = minhash_dedup(
+            ds, threshold=raw + 1e-12, verify=verify, bands=32
+        ).take_all()
+        assert drop == [], verify

@@ -113,3 +113,51 @@ def test_key_hash_canonicalization_properties():
             assert (key_hash_u64(chunked) == h_int).all()
 
     prop()
+
+
+def test_bucketed_anti_join(sides, ray_session):
+    import ray.data
+
+    orders_ds, _ = sides
+    # exclude three customer keys via a Dataset of ids (with a duplicate)
+    excl = ray.data.from_arrow(
+        pa.table({"bad_key": pa.array([1, 3, 3, 6], pa.int64())})
+    )
+    from ulp_ray.stages.join import bucketed_anti_join
+
+    out = bucketed_anti_join(orders_ds, excl, on="o_custkey", right_on="bad_key")
+    rows = out.take_all()
+    assert rows and all(r["o_custkey"] not in (1, 3, 6) for r in rows)
+    expect = [i for i in range(100) if i % 7 not in (1, 3, 6)]
+    assert sorted(r["o_orderkey"] for r in rows) == expect
+    # full row payload survives
+    assert set(rows[0]) == {"o_orderkey", "o_custkey", "o_total"}
+
+
+def test_bucketed_anti_join_null_keys(ray_session):
+    """Containment semantics: a null left key is kept unless the right
+    side contains a null (NOT SQL NOT IN's all-null poisoning)."""
+    import ray.data
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, None], pa.int64()), "v": pa.array(list("abc"))})
+    )
+    right_no_null = ray.data.from_arrow(pa.table({"k": pa.array([2], pa.int64())}))
+    right_null = ray.data.from_arrow(pa.table({"k": pa.array([2, None], pa.int64())}))
+    from ulp_ray.stages.join import bucketed_anti_join
+
+    keep = sorted(r["v"] for r in bucketed_anti_join(left, right_no_null, on="k").take_all())
+    assert keep == ["a", "c"]
+    keep2 = sorted(r["v"] for r in bucketed_anti_join(left, right_null, on="k").take_all())
+    assert keep2 == ["a"]
+
+
+def test_bucketed_anti_join_empty_right(sides, ray_session):
+    import ray.data
+
+    orders_ds, _ = sides
+    empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    from ulp_ray.stages.join import bucketed_anti_join
+
+    out = bucketed_anti_join(orders_ds, empty, on="o_custkey", right_on="k")
+    assert out.count() == 100

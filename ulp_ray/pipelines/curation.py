@@ -59,6 +59,8 @@ def curate_documents(
     id_col: str = "doc_id",
     text_col: str = "text",
     splits: dict[str, float] | None = None,
+    near_dup: bool = True,
+    verify: str = "auto",
 ) -> tuple:
     """Run the curation pipeline over a documents dataset.
 
@@ -71,6 +73,16 @@ def curate_documents(
     overwriting ``splits/<name>/`` Parquet. The split filters run over
     the already-materialized curated dataset, so they re-scan the object
     store, not the source files.
+
+    ``near_dup=False`` skips the minhash stage entirely — the remaining
+    composition (analyze → quality filter → exact dedup) is exactly
+    SQL-expressible, which is what the ``curate_documents_sql`` oracle
+    twin pins. ``verify`` is forwarded to :func:`minhash_dedup`.
+
+    Scale note: near-dup losers are removed with a bucketed anti-join
+    (``stages/join.py``) — the verified-pair set stays a Dataset end to
+    end (it is O(corpus) on a heavily duplicated crawl), never a driver
+    id set or a task-closure broadcast.
     """
     rows_in = ds.count()
 
@@ -94,19 +106,27 @@ def curate_documents(
     deduped = exact_dedup(filtered, on=text_col, order_col=id_col).materialize()
     rows_after_exact = deduped.count()
 
-    pairs = minhash_dedup(
-        deduped, text_col=text_col, id_col=id_col, threshold=jaccard_threshold
-    )
-    # drop the higher id of each verified near-dup pair (survivor = min id)
-    losers = sorted({p["id_b"] for p in pairs.to_pylist()})
-    if losers:
-        loser_arr = pa.array(losers, pa.int64())
-        curated = deduped.map_batches(
-            lambda t: t.filter(
-                pc.invert(pc.is_in(t[id_col], value_set=loser_arr))
-            ),
-            batch_format="pyarrow",
-            **remote_env(),
+    if near_dup:
+        # materialized once: counted for the report AND consumed by the
+        # anti-join (object store, never the driver)
+        pairs = minhash_dedup(
+            deduped,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=jaccard_threshold,
+            verify=verify,
+        ).materialize()
+        n_pairs = pairs.count()
+    else:
+        pairs, n_pairs = None, 0
+    if n_pairs:
+        # drop the higher id of each verified pair (survivor = min id)
+        # via a bucketed anti-join — the loser set shuffles as a
+        # fixed-width id column, not a driver set in a task closure
+        from ..stages.join import bucketed_anti_join
+
+        curated = bucketed_anti_join(
+            deduped, pairs.select_columns(["id_b"]), on=id_col, right_on="id_b"
         )
     else:
         curated = deduped
@@ -128,7 +148,7 @@ def curate_documents(
         rows_in=rows_in,
         rows_after_quality=rows_after_quality,
         rows_after_exact_dedup=rows_after_exact,
-        near_dup_pairs=pairs.num_rows,
+        near_dup_pairs=n_pairs,
         rows_out=rows_out,
         min_quality=min_quality,
         jaccard_threshold=jaccard_threshold,

@@ -304,10 +304,12 @@ def minhash_dedup(
     threshold: float = 0.8,
     verify: str = "auto",
     max_driver_candidates: int = 200_000,
-) -> pa.Table:
-    """End-to-end MinHash-LSH near-dup detection: returns the table
-    ``(id_a, id_b, jaccard)`` of verified pairs with Jaccard ≥ threshold,
-    sorted by (id_a, id_b).
+):
+    """End-to-end MinHash-LSH near-dup detection: returns a **Dataset**
+    ``(id_a, id_b, jaccard)`` of verified pairs with Jaccard ≥ threshold
+    (unordered — the verified-pair set is unbounded in the corpus'
+    duplication rate, so it stays in the object store; callers that need
+    row order sort the small materialized slice themselves).
 
     Verification modes:
 
@@ -316,23 +318,24 @@ def minhash_dedup(
       ``max_driver_candidates`` under ``"auto"``).
     - ``"bucketed"`` — the 100 TB path: join candidate pairs to their two
       texts via two bucketed hash joins (``hash(id) % B`` co-grouping),
-      then verify per batch — NOTHING but the verified pairs ever reaches
-      the driver.
+      then verify per batch — NOTHING (not texts, not the pair result
+      set) ever reaches the driver.
     - ``"auto"`` (default) — driver below the candidate bound, bucketed
       above it.
     """
+    import ray.data
+
     sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k)
     cand = minhash_lsh_candidates(
         sigs, id_col, num_perm, bands, dedup_pairs=True
     ).materialize()
     n_cand = cand.count()
     if n_cand == 0:
-        return _PAIR_SCHEMA.empty_table()
+        return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
     if verify == "driver" or (verify == "auto" and n_cand <= max_driver_candidates):
         out = _verify_pairs_driver(ds, cand, text_col, id_col, shingle_k, threshold)
-    else:
-        out = _verify_pairs_bucketed(ds, cand, text_col, id_col, shingle_k, threshold)
-    return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+        return ray.data.from_arrow(out)
+    return _verify_pairs_bucketed(ds, cand, text_col, id_col, shingle_k, threshold)
 
 
 def _verify_pairs_driver(
@@ -369,12 +372,12 @@ def _verify_pairs_driver(
     )
 
 
-def _verify_pairs_bucketed(
-    ds, cand, text_col, id_col, shingle_k, threshold
-) -> pa.Table:
+def _verify_pairs_bucketed(ds, cand, text_col, id_col, shingle_k, threshold):
     """Distributed verify: candidate pairs ↔ texts co-located by two
     bucketed hash joins; the exact-Jaccard check runs inside
-    ``map_batches`` and only verified pairs leave the workers."""
+    ``map_batches`` and the verified pairs stay a Dataset — neither the
+    texts nor the (duplication-rate-unbounded) pair set touches the
+    driver."""
     from .join import bucketed_hash_join
 
     def texts_as(tag: str):
@@ -391,18 +394,23 @@ def _verify_pairs_bucketed(
     j2 = bucketed_hash_join(j1, t_b, on="id_b", how="inner")
 
     def verify(batch: pa.Table) -> pa.Table:
-        ja = [
-            round(ngram_jaccard(a, b, shingle_k), 6)
-            for a, b in zip(
-                batch["__text_a"].to_pylist(), batch["__text_b"].to_pylist()
-            )
-        ]
-        t = batch.append_column("jaccard", pa.array(ja, pa.float64()))
-        t = t.filter(pc.greater_equal(t["jaccard"], threshold))
-        return t.select(["id_a", "id_b", "jaccard"])
+        # filter on the RAW jaccard first, round only the output column —
+        # same order as _verify_pairs_driver, so verify="auto" cannot
+        # change the result set at the threshold boundary
+        ja = np.array(
+            [
+                ngram_jaccard(a, b, shingle_k)
+                for a, b in zip(
+                    batch["__text_a"].to_pylist(), batch["__text_b"].to_pylist()
+                )
+            ],
+            dtype=np.float64,
+        )
+        keep = ja >= threshold
+        t = batch.filter(pa.array(keep)).select(["id_a", "id_b"])
+        return t.append_column("jaccard", pa.array(np.round(ja[keep], 6)))
 
-    rows = j2.map_batches(verify, batch_format="pyarrow", **remote_env()).take_all()
-    return pa.Table.from_pylist(rows, schema=_PAIR_SCHEMA)
+    return j2.map_batches(verify, batch_format="pyarrow", **remote_env())
 
 
 # ---------------------------------------------------------------------------
@@ -577,9 +585,11 @@ def embedding_neardup(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     max_exact_rows: int = 2_000_000,
-) -> pa.Table:
-    """Cosine near-dup pairs ``(id_a, id_b, cosine)``, id_a < id_b,
-    sorted.
+):
+    """Cosine near-dup pairs: a **Dataset** ``(id_a, id_b, cosine)`` with
+    id_a < id_b (unordered — the pair set is unbounded in the corpus'
+    duplication rate, so it never collects on the driver; small callers
+    sort after materializing).
 
     Exact path (≤ ``max_exact_rows``): the normalized matrix is broadcast
     (``ray.put`` once), each batch computes a block × all matmul in
@@ -595,11 +605,8 @@ def embedding_neardup(
 
     got = _normalized_matrix(ds, vec_col, id_col, max_rows=max_exact_rows)
     if got is None:  # over the exact-path bound → LSH scale path
-        rows = embedding_neardup_lsh(
+        return embedding_neardup_lsh(
             ds, vec_col=vec_col, id_col=id_col, threshold=threshold
-        ).take_all()
-        return pa.Table.from_pylist(rows, schema=_COSINE_SCHEMA).sort_by(
-            [("id_a", "ascending"), ("id_b", "ascending")]
         )
 
     all_ids, mat = got
@@ -626,10 +633,7 @@ def embedding_neardup(
             }
         )
 
-    out = ds.map_batches(block_pairs, batch_format="pyarrow", **remote_env())
-    return pa.Table.from_pylist(out.take_all(), schema=_COSINE_SCHEMA).sort_by(
-        [("id_a", "ascending"), ("id_b", "ascending")]
-    )
+    return ds.map_batches(block_pairs, batch_format="pyarrow", **remote_env())
 
 
 _COSINE_SCHEMA = pa.schema(
@@ -644,11 +648,21 @@ def embedding_neardup_lsh(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 11,
+    verify_block_rows: int = 8192,
 ):
     """Scale path: random-hyperplane LSH — bucket = sign bits of
     ``n_planes`` projections; exact cosine verification only within each
     bucket (groupby). Recall < 1 by construction (near-dups differing in a
-    sign bit land apart); raise recall by unioning several plane seeds."""
+    sign bit land apart); raise recall by unioning several plane seeds.
+
+    Hot-bucket hazard (documented, like minhash's): verification is
+    quadratic in a bucket's size — a bucket of B vectors scores B² pairs.
+    The in-bucket matmul is BLOCKED (``verify_block_rows`` × bucket, so
+    the similarity matrix never exceeds block × B floats), but the pair
+    *work* stays quadratic: scale ``n_planes`` with the corpus (buckets ≈
+    2^n_planes; aim corpus/2^n_planes ≲ 10⁵ rows/bucket) and run
+    :func:`exact_dedup` first so identical vectors — the usual hot-bucket
+    cause — never reach the LSH stage."""
 
     def bucketize(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -679,13 +693,36 @@ def embedding_neardup_lsh(
         n = np.linalg.norm(v, axis=1, keepdims=True)
         n[n == 0] = 1.0
         v = v / n
-        sims = v @ v.T
-        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
-        a, b = ids[ia], ids[ib]
-        swap = a > b
-        a[swap], b[swap] = b[swap], a[swap]
+        # row-block × bucket matmul: peak sims memory = block × B floats,
+        # not B² — identical pair set at any block size (pure tiling)
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, len(v), verify_block_rows):
+            e = min(s + verify_block_rows, len(v))
+            sims = v[s:e] @ v.T  # (block, B)
+            hit = sims >= threshold
+            # upper triangle only: global col index > global row index
+            hit &= np.arange(hit.shape[1])[None, :] > np.arange(s, e)[:, None]
+            ia, ib = np.nonzero(hit)
+            if len(ia) == 0:
+                continue
+            a0, b0 = ids[s + ia], ids[ib]
+            out_a.append(np.minimum(a0, b0))
+            out_b.append(np.maximum(a0, b0))
+            out_c.append(np.round(sims[ia, ib].astype(np.float64), 6))
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
         return pd.DataFrame(
-            {"id_a": a, "id_b": b, "cosine": np.round(sims[ia, ib].astype(np.float64), 6)}
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
         )
 
     return (

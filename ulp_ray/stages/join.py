@@ -26,7 +26,7 @@ import pyarrow as pa
 
 from .._env import remote_env
 
-__all__ = ["broadcast_join", "bucketed_hash_join"]
+__all__ = ["broadcast_join", "bucketed_hash_join", "bucketed_anti_join"]
 
 
 def broadcast_join(
@@ -157,4 +157,74 @@ def bucketed_hash_join(
 
     return l.union(r).groupby("__bucket").map_groups(
         merge, batch_format="pyarrow", **remote_env()
+    )
+
+
+def bucketed_anti_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    buckets: int = 64,
+):
+    """Anti join: ``left`` rows whose ``on`` value does NOT appear in
+    ``right[right_on]``. Both sides co-grouped by ``hash(key) % buckets``
+    (fixed-width exchange on the exclusion side — only its key column
+    ships), in-bucket membership via one vectorized ``pc.is_in`` per
+    bucket.
+
+    This is the scale-safe replacement for a driver-side id set +
+    broadcast filter: the exclusion set may be O(corpus) (heavily
+    duplicated crawls), so it stays a Dataset end-to-end. Null semantics:
+    a null left key is dropped iff the right side contains a null key
+    (containment, pandas-style — not SQL ``NOT IN``'s three-valued
+    logic, which would drop every row once any null appears on the
+    right)."""
+    rkey = right_on or on
+    lt = dict(zip(left.schema().names, left.schema().types))
+    rt = dict(zip(right.schema().names, right.schema().types))
+    if str(lt.get(on)) != str(rt.get(rkey)):
+        raise ValueError(
+            f"anti-join key dtype mismatch: {on}={lt.get(on)} vs "
+            f"{rkey}={rt.get(rkey)} — cast one side first"
+        )
+
+    from ._bucket import arrow_type_of, bucket_column
+
+    ltypes = {n: arrow_type_of(t) for n, t in zip(left.schema().names, left.schema().types)}
+    lcols = list(left.schema().names)
+    key_t = ltypes[on]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("__bucket", bucket_column(batch, [on], buckets))
+        return batch.append_column("__side", pa.array(["l"] * len(batch), pa.string()))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        # only the key column ships; pad the rest as typed nulls so the
+        # union schema matches the left side
+        key = pa.table({on: batch[rkey].cast(key_t)})
+        cols = {c: (key[on] if c == on else pa.nulls(len(batch), type=ltypes[c])) for c in lcols}
+        t = pa.table(cols)
+        t = t.append_column("__bucket", bucket_column(t, [on], buckets))
+        return t.append_column("__side", pa.array(["r"] * len(batch), pa.string()))
+
+    l = left.map_batches(tag_left, batch_format="pyarrow", **remote_env())
+    r = right.map_batches(tag_right, batch_format="pyarrow", **remote_env())
+
+    def anti(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lg = g.filter(pc.equal(g["__side"], "l"))
+        rvals = g.filter(pc.equal(g["__side"], "r"))[on].combine_chunks()
+        # containment rule, explicit (pc.is_in's null handling varies by
+        # version): null ∈ right iff right has a null key
+        in_right = pc.fill_null(
+            pc.is_in(lg[on], value_set=rvals.drop_null()), False
+        )
+        if rvals.null_count > 0:
+            in_right = pc.or_(in_right, pc.is_null(lg[on]))
+        return lg.filter(pc.invert(in_right)).select(lcols)
+
+    return l.union(r).groupby("__bucket").map_groups(
+        anti, batch_format="pyarrow", **remote_env()
     )
