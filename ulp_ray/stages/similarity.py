@@ -16,7 +16,6 @@ from __future__ import annotations
 import heapq
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from .._env import remote_env
@@ -84,17 +83,22 @@ def ann_topk(
         )
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow", **remote_env()).take_all()
+    return _merge_topk_partials(partials, id_col, k, round_scores=True)
 
-    # driver-side merge of per-batch top-k partials (tiny)
+
+def _merge_topk_partials(
+    partials: list[dict], id_col: str, k: int, round_scores: bool = False
+) -> pa.Table:
+    """Driver-side merge of per-batch top-k partial rows (tiny:
+    O(blocks × queries × k) rows ever reach the driver). Ties prefer the
+    smaller vec_id; output is (query_id, rank, id, score)."""
     best: dict[int, list] = {}
     for row in partials:
         # heap on (score, -vec_id) so ties prefer smaller vec_id
-        heapq.heappush(
-            best.setdefault(row["query_id"], []),
-            (row["score"], -row[id_col]),
-        )
-        if len(best[row["query_id"]]) > k:
-            heapq.heappop(best[row["query_id"]])
+        qi = int(row["query_id"])
+        heapq.heappush(best.setdefault(qi, []), (row["score"], -int(row[id_col])))
+        if len(best[qi]) > k:
+            heapq.heappop(best[qi])
     out = {"query_id": [], "rank": [], id_col: [], "score": []}
     for qi in sorted(best):
         ranked = sorted(best[qi], key=lambda t: (-t[0], -t[1]))
@@ -102,7 +106,7 @@ def ann_topk(
             out["query_id"].append(qi)
             out["rank"].append(r)
             out[id_col].append(-neg_id)
-            out["score"].append(round(score, 6))
+            out["score"].append(round(score, 6) if round_scores else score)
     return pa.table(
         {
             "query_id": pa.array(out["query_id"], pa.int64()),
@@ -227,86 +231,84 @@ def ann_topk_ivf(
     ds,
     queries: np.ndarray,
     k: int = 10,
-    n_lists: int = 16,
+    n_lists: int | None = 16,
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    batch_size: int = 65536,
 ) -> pa.Table:
-    """IVF-style approximate top-k: assign corpus vectors to their nearest
-    codebook centroid per batch (broadcast codebook), search only the
-    ``n_probe`` closest lists per query inside a ``groupby("list_id")``,
-    and merge per-list candidates on the driver. Approximate: recall
-    depends on n_probe/n_lists (documented partitioning assumption:
-    vectors near list boundaries may be missed)."""
+    """IVF-style approximate top-k, fully streaming: every batch assigns
+    its own vectors to their nearest codebook centroid (broadcast
+    codebook), keeps only the rows whose list is probed by ≥1 query, and
+    scores them with ONE masked matmul against the probing queries —
+    there is NO groupby and no per-list materialization, so per-callback
+    memory is bounded by ``batch_size`` × dim regardless of list skew
+    (the round-2 shape grouped whole lists: corpus/n_lists rows in one
+    Python callback). The IVF pruning survives as compute skipping: rows
+    in unprobed lists are dropped before the matmul.
+
+    ``n_lists=None`` scales the codebook with the corpus —
+    ``max(16, ⌈√N⌉)`` via one metadata-cheap ``ds.count()`` — keeping
+    the probed fraction ≈ n_probe/√N instead of fixed 1/16. Approximate:
+    recall depends on n_probe/n_lists (vectors near list boundaries may
+    be missed)."""
     import ray
 
-    cent = build_ivf_codebook(ds, n_lists=n_lists, vec_col=vec_col)
-    q = _normalize(np.asarray(queries, dtype=np.float32))
-    probes = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
-    cent_ref = ray.put(cent)
-    # list_id -> [query ids probing it]
-    probe_map: dict[int, list[int]] = {}
-    for qi, ls in enumerate(probes):
-        for l in ls:
-            probe_map.setdefault(int(l), []).append(qi)
-    q_ref = ray.put((q, probe_map))
+    if n_lists is None:
+        n_lists = max(16, int(np.ceil(np.sqrt(max(ds.count(), 1)))))
+    cent = build_ivf_codebook(
+        ds, n_lists=n_lists, vec_col=vec_col, sample_rows=max(4096, 8 * n_lists)
+    )
+    q32 = _normalize(np.asarray(queries, dtype=np.float32))
+    probes = np.argsort(-(q32 @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    # (nq, n_lists) bool: probe_mask[qi, l] = query qi searches list l
+    probe_mask = np.zeros((len(q32), len(cent)), dtype=bool)
+    probe_mask[np.arange(len(q32))[:, None], probes] = True
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    state_ref = ray.put((cent, qm, probe_mask))
 
-    def assign(batch: pa.Table) -> pa.Table:
+    _empty = pa.schema(
+        [("query_id", pa.int64()), (id_col, pa.int64()), ("score", pa.float64())]
+    ).empty_table()
+
+    def local_search(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
-            lid = np.array([], dtype=np.int64)
-        else:
-            c = ray.get(cent_ref)
-            v = _normalize(_batch_vectors(batch, vec_col))
-            lid = (v @ c.T).argmax(axis=1).astype(np.int64)
-        return pa.table(
-            {id_col: batch[id_col], "list_id": pa.array(lid), vec_col: batch[vec_col]}
-        )
-
-    def search_list(g: pd.DataFrame) -> pd.DataFrame:
-        qm, pm = ray.get(q_ref)
-        lid = int(g["list_id"].iloc[0])
-        qids = pm.get(lid, [])
-        if not qids:
-            return pd.DataFrame({"query_id": [], id_col: [], "score": []})
-        ids = g[id_col].to_numpy()
-        v = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float32))
-        sims = qm[qids] @ v.T
-        out = {"query_id": [], id_col: [], "score": []}
+            return _empty
+        if len(batch) > batch_size:
+            # the memory bound IS the contract (the round-2 per-list
+            # groupby ballooned to corpus/n_lists rows per callback) —
+            # fail loudly if the executor ever hands us more
+            raise RuntimeError(
+                f"IVF search callback got {len(batch)} rows, expected "
+                f"<= batch_size={batch_size}"
+            )
+        c, qmat, pmask = ray.get(state_ref)
+        lid = (_normalize(_batch_vectors(batch, vec_col)) @ c.T).argmax(axis=1)
+        keep = pmask.any(axis=0)[lid]  # row's list probed by ≥1 query?
+        if not keep.any():
+            return _empty
+        idx = np.nonzero(keep)[0]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[idx]
+        v = _normalize(_batch_vectors(batch, vec_col, dtype=np.float64)[idx])
+        sims = qmat @ v.T  # (nq, nkept) float64 — same math as ann_topk
+        sims[~pmask[:, lid[idx]]] = -np.inf  # mask rows this query doesn't probe
         kk = min(k, sims.shape[1])
-        for row, qi in enumerate(qids):
-            idx = np.argpartition(-sims[row], kk - 1)[:kk]
-            out["query_id"].extend([qi] * len(idx))
-            out[id_col].extend(ids[idx].tolist())
-            out["score"].extend(np.round(sims[row, idx].astype(np.float64), 6).tolist())
-        return pd.DataFrame(out)
-
-    partials = (
-        ds.map_batches(assign, batch_format="pyarrow", **remote_env())
-        .groupby("list_id")
-        .map_groups(search_list, batch_format="pandas", **remote_env())
-        .take_all()
-    )
-    best: dict[int, list] = {}
-    for row in partials:
-        heapq.heappush(
-            best.setdefault(int(row["query_id"]), []),
-            (row["score"], -int(row[id_col])),
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = {"query_id": [], id_col: [], "score": []}
+        for qi in range(sims.shape[0]):
+            sel = part[qi][np.isfinite(sims[qi, part[qi]])]
+            rows["query_id"].extend([qi] * len(sel))
+            rows[id_col].extend(ids[sel].tolist())
+            rows["score"].extend(sims[qi, sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], pa.int64()),
+                id_col: pa.array(rows[id_col], pa.int64()),
+                "score": pa.array(rows["score"], pa.float64()),
+            }
         )
-        if len(best[int(row["query_id"])]) > k:
-            heapq.heappop(best[int(row["query_id"])])
-    out = {"query_id": [], "rank": [], id_col: [], "score": []}
-    for qi in sorted(best):
-        ranked = sorted(best[qi], key=lambda t: (-t[0], -t[1]))
-        for r, (score, neg_id) in enumerate(ranked):
-            out["query_id"].append(qi)
-            out["rank"].append(r)
-            out[id_col].append(-neg_id)
-            out["score"].append(score)
-    return pa.table(
-        {
-            "query_id": pa.array(out["query_id"], pa.int64()),
-            "rank": pa.array(out["rank"], pa.int64()),
-            id_col: pa.array(out[id_col], pa.int64()),
-            "score": pa.array(out["score"], pa.float64()),
-        }
-    )
+
+    partials = ds.map_batches(
+        local_search, batch_format="pyarrow", batch_size=batch_size, **remote_env()
+    ).take_all()
+    return _merge_topk_partials(partials, id_col, k, round_scores=True)
