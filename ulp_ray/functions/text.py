@@ -212,7 +212,13 @@ def quality_features(batch_text: pa.Array | pa.ChunkedArray) -> pa.Table:
             "punct_ratio": pc.round(punct_ratio, ndigits=6),
             "stopword_ratio": pc.round(sw_arr, ndigits=6),
             "mean_token_len": pc.round(ml_arr, ndigits=6),
-            "quality_score": pc.round(score, ndigits=6),
+            # half-away (SQL ROUND) rather than Arrow's default half-even:
+            # the score formula produces exact dyadic ties (n_tokens/64 …)
+            # where the two modes diverge at the 6th decimal, and the
+            # curate_documents_sql oracle compares this column
+            "quality_score": pc.round(
+                score, ndigits=6, round_mode="half_towards_infinity"
+            ),
         }
     )
 
