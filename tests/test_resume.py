@@ -191,3 +191,46 @@ def test_deleted_schema_partial_forces_recompute(ray_session, data_dir, tmp_path
     assert os.path.isfile(
         os.path.join(out, "_schemas_partials", "partition=1.json")
     )
+
+
+def test_audit_detects_tampered_input_file(ray_session, tmp_path_factory):
+    """Per-input-file sha256 lineage (ParsedFileStats analog,
+    /root/reference/src/type_map.rs:100-155): flipping bytes in an INPUT
+    fragment after the run must fail the audit, and a metadata-only audit
+    (verify_inputs=False) must still pass."""
+    from ulp_ray.state.audit import AuditError, audit_run
+
+    d = str(tmp_path_factory.mktemp("transcripts_tamper"))
+    write_transcripts(d, 1_000, n_files=2)
+    out = str(tmp_path_factory.mktemp("run"))
+    run_pipeline(d, out, partitions=2)
+    assert audit_run(out)["ok"]  # hashes recorded and verified
+
+    victim = sorted(glob.glob(os.path.join(d, "*.parquet")))[0]
+    with open(victim, "r+b") as f:
+        f.seek(10)
+        b = f.read(1)
+        f.seek(10)
+        f.write(bytes([b[0] ^ 0xFF]))
+    with pytest.raises(AuditError, match="input sha256 mismatch"):
+        audit_run(out)
+    assert audit_run(out, verify_inputs=False)["ok"]
+
+    # a deleted input is its own violation
+    os.remove(victim)
+    report = audit_run(out, strict=False)
+    assert any("input missing" in p for p in report["problems"])
+
+
+def test_hash_inputs_false_skips_lineage_hashes(ray_session, tmp_path_factory):
+    from ulp_ray.state.manifest import load_completed
+
+    d = str(tmp_path_factory.mktemp("transcripts_nohash"))
+    write_transcripts(d, 500, n_files=1)
+    out = str(tmp_path_factory.mktemp("run"))
+    run_pipeline(d, out, partitions=1, hash_inputs=False)
+    (m,) = load_completed(out).values()
+    assert m.input_sha256 == {}
+    from ulp_ray.state.audit import audit_run
+
+    assert audit_run(out)["ok"]  # empty dict → hash step skipped

@@ -87,6 +87,14 @@ class PipelineResult:
     manifests: list[PartitionManifest] = field(default_factory=list)
 
 
+def _hash_fragment(path: str) -> tuple[str, str]:
+    """(path, sha256) of one input fragment — runs as a Ray task so a
+    partition's fragments hash in parallel."""
+    from ..state.manifest import file_sha256
+
+    return path, file_sha256(path)
+
+
 def _expand_inputs(inputs: str | list[str]) -> list[str]:
     if isinstance(inputs, str):
         if os.path.isdir(inputs):
@@ -112,8 +120,17 @@ def run_pipeline(
     enrich_concurrency: tuple[int, int] | int | None = None,
     text_col: str = "text",
     pre_fn=None,
+    hash_inputs: bool = True,
 ) -> PipelineResult:
     """Run (or resume) the flagship pipeline over Parquet transcript files.
+
+    ``hash_inputs`` records a sha256 per input fragment in the partition
+    manifest (the reference's per-file ``ParsedFileStats`` lineage,
+    ``type_map.rs:100-155``) — ``audit_run`` then detects a tampered
+    input artifact, not just a tampered output. Hashing runs as parallel
+    Ray tasks right after the partition's sinks are durable, so the
+    fragments are still warm in the page cache; set False to skip the
+    extra read on cold storage.
 
     ``text_col`` selects the column the rule registry parses (part of the
     checkpoint fingerprint — a resume with a different column recomputes);
@@ -270,6 +287,16 @@ def run_pipeline(
         # across partitions at the end via the §P3 lattice
         _write_schema_partial(out_dir, pi, _route_schema_partial(sink_dir))
 
+        if hash_inputs:
+            # parallel per-fragment sha256 (page cache still warm from the
+            # read above); num_cpus=0.25 — the work is I/O, not compute
+            hash_task = ray.remote(_hash_fragment).options(
+                num_cpus=0.25, **remote_env()
+            )
+            input_sha = dict(ray.get([hash_task.remote(p) for p in group]))
+        else:
+            input_sha = {}
+
         rows_routed = int(pa.compute.sum(counts_tbl["n"]).as_py() or 0)
         m = PartitionManifest(
             partition=pi,
@@ -283,6 +310,7 @@ def run_pipeline(
             duration_s=round(time.monotonic() - t0, 3),
             registry_version=registry.version,
             text_col=text_col,
+            input_sha256=input_sha,
         )
         m.write(out_dir)
         manifests.append(m)

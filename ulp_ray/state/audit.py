@@ -12,7 +12,12 @@ output (and the inverse of the reference's blind-trust manifest,
 3. the final rollup equals the sum of the per-partition partials;
 4. ``run.json`` totals equal the manifest sums;
 5. every completed partition has its per-route schema partial, and every
-   route present in the sinks has a merged ``_schema.json`` sidecar.
+   route present in the sinks has a merged ``_schema.json`` sidecar;
+6. (``verify_inputs=True``, default) every input fragment still hashes to
+   the manifest's recorded per-file sha256 (``ParsedFileStats`` analog,
+   ``/root/reference/src/type_map.rs:100-155``) — tamper-evidence for the
+   input artifacts themselves. This is the one step that re-reads input
+   bytes; pass ``verify_inputs=False`` for a metadata-only audit.
 
 Returns a dict report; raises ``AuditError`` listing every violation when
 ``strict=True``.
@@ -26,7 +31,7 @@ import os
 
 import pyarrow.parquet as pq
 
-from .manifest import counts_sha256, load_completed
+from .manifest import counts_sha256, file_sha256, load_completed
 
 __all__ = ["AuditError", "audit_run"]
 
@@ -35,7 +40,7 @@ class AuditError(AssertionError):
     pass
 
 
-def audit_run(run_dir: str, strict: bool = True) -> dict:
+def audit_run(run_dir: str, strict: bool = True, verify_inputs: bool = True) -> dict:
     problems: list[str] = []
     manifests = load_completed(run_dir)
     if not manifests:
@@ -82,6 +87,15 @@ def audit_run(run_dir: str, strict: bool = True) -> dict:
             os.path.join(run_dir, "_schemas_partials", f"partition={pi}.json")
         ):
             problems.append(f"partition {pi}: schema partial missing")
+        if verify_inputs and m.input_sha256:
+            # pre-hash-field manifests have an empty dict → skipped
+            for path, want in sorted(m.input_sha256.items()):
+                if not os.path.isfile(path):
+                    problems.append(f"partition {pi}: input missing: {path}")
+                elif file_sha256(path) != want:
+                    problems.append(
+                        f"partition {pi}: input sha256 mismatch: {path}"
+                    )
         total_rows += m.rows_routed
 
     rollup_path = os.path.join(run_dir, "rollup", "agg_counts.parquet")

@@ -23,7 +23,13 @@ import json
 import os
 from dataclasses import asdict, dataclass, field
 
-__all__ = ["PartitionManifest", "RunManifest", "manifest_dir", "counts_sha256"]
+__all__ = [
+    "PartitionManifest",
+    "RunManifest",
+    "manifest_dir",
+    "counts_sha256",
+    "file_sha256",
+]
 
 
 @dataclass
@@ -43,6 +49,12 @@ class PartitionManifest:
     # column must recompute (default keeps pre-field manifests valid for
     # text runs)
     text_col: str = "text"
+    # per-input-file content hashes (path → sha256) — the ParsedFileStats
+    # sha256 analog (type_map.rs:100-108, populated :111-155): makes each
+    # input artifact tamper-evident, not just the rollup digest. Default
+    # keeps manifests written before this field loadable (audit skips
+    # hash verification for them).
+    input_sha256: dict = field(default_factory=dict)
 
     def write(self, run_dir: str) -> str:
         d = manifest_dir(run_dir)
@@ -102,6 +114,18 @@ def load_completed(run_dir: str) -> dict[int, PartitionManifest]:
         except (json.JSONDecodeError, TypeError, OSError):
             continue
     return out
+
+
+def file_sha256(path: str, chunk_bytes: int = 1 << 20) -> str:
+    """Streaming sha256 of one file (bounded memory at any file size)."""
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk_bytes)
+            if not b:
+                break
+            h.update(b)
+    return h.hexdigest()
 
 
 def counts_sha256(rows: list[tuple]) -> str:
