@@ -1,5 +1,7 @@
 """Deterministic splits/sampling and distributed k-means."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -145,3 +147,50 @@ def test_hash_split_write_one_pass_matches_lazy(convs, tmp_path):
         assert os.path.isdir(p)
         written = sorted(pq.read_table(p)["row"].to_pylist())
         assert written == sorted(lazy[name].to_pandas()["row"])
+
+
+def test_hash_split_write_rerun_is_byte_identical(ray_session, tmp_path):
+    """Re-running hash_split_write into the same out_dir must replace the
+    split files in place (deterministic filenames + OVERWRITE), never
+    append a second copy of the rows."""
+    import glob
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from ulp_ray.stages.split import hash_split_write
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(1000), pa.int64()),
+            "v": pa.array([i * 2 for i in range(1000)], pa.int64()),
+        }
+    )
+    out = str(tmp_path / "splits")
+
+    def digest_tree():
+        d = {}
+        for f in sorted(glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True)):
+            d[os.path.relpath(f, out)] = hashlib.sha256(open(f, "rb").read()).hexdigest()
+        return d
+
+    paths = hash_split_write(
+        ray.data.from_arrow(t), "doc_id", {"train": 0.8, "val": 0.2}, out
+    )
+    first = digest_tree()
+    total = sum(
+        ray.data.read_parquet(p).count() for p in paths.values()
+    )
+    assert total == 1000
+
+    paths2 = hash_split_write(
+        ray.data.from_arrow(t), "doc_id", {"train": 0.8, "val": 0.2}, out
+    )
+    assert paths2 == paths
+    assert digest_tree() == first  # byte-identical, not additive
+    assert sum(ray.data.read_parquet(p).count() for p in paths2.values()) == 1000
+
+    # a changed layout removes stale split dirs
+    hash_split_write(ray.data.from_arrow(t), "doc_id", {"all": 1.0}, out)
+    assert not os.path.isdir(os.path.join(out, "__split=train"))

@@ -47,6 +47,7 @@ import pyarrow.parquet as pq
 
 from .._env import remote_env
 from ..rules import RuleRegistry, default_transcript_registry
+from ..sources.io import overwrite_sink_args
 from ..stages.aggregate import count_rollup
 from ..stages.enrich import Enricher, make_enrich_fn, put_taxonomy
 from ..stages.parse import make_parse_fn
@@ -60,20 +61,6 @@ from ..state.manifest import (
 __all__ = ["PipelineResult", "run_pipeline", "run_streaming_counts"]
 
 AGG_KEYS = ["rule", "tool", "role"]
-
-
-class _DeterministicFilenames:
-    """FilenameProvider: output names are a function of (task, block) only,
-    so a re-run of a partition overwrites the same paths byte-for-byte —
-    no per-execution UUIDs (resume idempotency, SURVEY.md §7.4)."""
-
-    def get_filename_for_block(self, block, write_uuid, task_index, block_index) -> str:
-        return f"part-{task_index:06d}-{block_index:06d}.parquet"
-
-    def get_filename_for_row(
-        self, row, write_uuid, task_index, block_index, row_index
-    ) -> str:  # pragma: no cover - parquet writes are block-level
-        return f"part-{task_index:06d}-{block_index:06d}-{row_index:09d}.parquet"
 
 
 @dataclass
@@ -238,24 +225,11 @@ def run_pipeline(
                 batch_size=batch_size,
                 **remote_env(),
             )
-        try:
-            # private in Ray 2.49 (no public SaveMode path exists);
-            # required because APPEND mode rejects the deterministic
-            # filename provider. A Ray upgrade that moves it should fail
-            # loudly here, not corrupt outputs.
-            from ray.data._internal.savemode import SaveMode
-        except ImportError as e:  # pragma: no cover
-            raise RuntimeError(
-                "ray.data SaveMode moved — update the overwrite-mode import "
-                "in flagship.run_pipeline for this Ray version"
-            ) from e
-
         ds.write_parquet(
             sink_dir,
             partition_cols=["route"],
-            filename_provider=_DeterministicFilenames(),
-            mode=SaveMode.OVERWRITE,
             ray_remote_args=remote_env(),
+            **overwrite_sink_args(),
         )
 
         # partial rollup from the durable sink (columnar, 3 cols only).

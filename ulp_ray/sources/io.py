@@ -17,6 +17,8 @@ import os
 
 __all__ = [
     "expand_glob",
+    "DeterministicFilenames",
+    "overwrite_sink_args",
     "read_transcripts",
     "read_ndjson",
     "write_ndjson",
@@ -155,3 +157,36 @@ def read_parquet_evolved(path_or_glob: str, columns: list[str] | None = None):
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+class DeterministicFilenames:
+    """FilenameProvider: output names are a function of (task, block)
+    only — no per-execution UUIDs — so a re-run of the same write
+    overwrites the same paths byte-for-byte (resume idempotency,
+    SURVEY.md §7.4; the fix for the reference's duplicate-on-reingest,
+    ``src/elastic.rs:108``)."""
+
+    def get_filename_for_block(self, block, write_uuid, task_index, block_index) -> str:
+        return f"part-{task_index:06d}-{block_index:06d}.parquet"
+
+    def get_filename_for_row(
+        self, row, write_uuid, task_index, block_index, row_index
+    ) -> str:  # pragma: no cover - parquet writes are block-level
+        return f"part-{task_index:06d}-{block_index:06d}-{row_index:09d}.parquet"
+
+
+def overwrite_sink_args() -> dict:
+    """kwargs for a deterministic-overwrite ``write_parquet``: stable
+    filenames + SaveMode.OVERWRITE (APPEND would reject reused names).
+
+    SaveMode is private in Ray 2.49 (no public path exists); a Ray
+    upgrade that moves it should fail loudly here, not corrupt outputs.
+    """
+    try:
+        from ray.data._internal.savemode import SaveMode
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "ray.data SaveMode moved — update overwrite_sink_args() in "
+            "ulp_ray/sources/io.py for this Ray version"
+        ) from e
+    return {"filename_provider": DeterministicFilenames(), "mode": SaveMode.OVERWRITE}

@@ -11,6 +11,8 @@ a group straddling the boundary.
 
 from __future__ import annotations
 
+import glob as globmod
+
 import numpy as np
 import pyarrow as pa
 
@@ -75,10 +77,17 @@ def hash_split_write(
     """One-pass durable split: label every row with its split name and
     write all splits with a single partitioned ``write_parquet``
     (``out_dir/__split=<name>/``). Returns ``{name: path}``. The 100 TB
-    shape — the source is read exactly once."""
-    import os
+    shape — the source is read exactly once.
 
-    import pyarrow.compute as pc
+    Re-run discipline matches the flagship sinks: stale ``__split=*``
+    dirs are removed first and the write uses deterministic filenames +
+    OVERWRITE, so re-running the same split into the same ``out_dir``
+    replaces files in place (byte-identical for an identical input)
+    instead of appending a second copy of every row."""
+    import os
+    import shutil
+
+    from ..sources.io import overwrite_sink_args
 
     bounds = _split_bounds(fractions)
     names = [b[0] for b in bounds]
@@ -92,8 +101,16 @@ def hash_split_write(
         )
         return batch.append_column("__split", pa.array(label, pa.string()))
 
+    # stale split dirs (previous run, or a changed split layout) must not
+    # survive — same rationale as the flagship's per-partition rmtree
+    for d in globmod.glob(os.path.join(out_dir, "__split=*")):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     ds.map_batches(add_label, batch_format="pyarrow", **remote_env()).write_parquet(
-        out_dir, partition_cols=["__split"], ray_remote_args=remote_env()
+        out_dir,
+        partition_cols=["__split"],
+        ray_remote_args=remote_env(),
+        **overwrite_sink_args(),
     )
     return {name: os.path.join(out_dir, f"__split={name}") for name in names}
 
