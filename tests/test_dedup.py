@@ -300,3 +300,48 @@ def test_minhash_threshold_boundary_consistent(ray_session):
             ds, threshold=raw + 1e-12, verify=verify, bands=32
         ).take_all()
         assert drop == [], verify
+
+
+def test_simhash_vectorized_tokenizer_matches_python_split(ray_session):
+    """The Arrow-regex tokenizer must reproduce str.split() exactly:
+    signatures computed from a reference per-doc Python loop must be
+    bit-identical (unicode whitespace, nulls, edge/repeated spaces)."""
+    import pandas as pd
+    import ray.data
+
+    texts = [
+        "  Hello   World  ",
+        "tab\tand\nnewline nbsp emsp",
+        None,
+        "",
+        "   ",
+        "ONE",
+        "مرحبا بالعالم UPPER lower MiXeD",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(ray.data.from_arrow(tbl)).take_all()
+    }
+
+    # reference: per-doc python loop (the pre-vectorization definition)
+    def ref_sig(t):
+        toks = (t or "").lower().split()
+        if not toks:
+            return 0
+        h = pd.util.hash_array(
+            np.array(toks, dtype=object), hash_key="ulp_ray_dedup!16"
+        ).astype(np.uint64)
+        acc = np.zeros(64, dtype=np.int64)
+        for hv in h:
+            bits = (hv >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += bits.astype(np.int64) * 2 - 1
+        return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+    for i, t in enumerate(texts):
+        assert got[i] == ref_sig(t), (i, t)

@@ -234,7 +234,17 @@ def fingerprint64(text: str) -> int:
 
 
 def fingerprint_batch(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Batch :func:`fingerprint64`. Kept as a tight scalar loop ON
+    PURPOSE (measured, round 3): blake2b is irreducibly per-string, and
+    Arrow-kernel normalization (regex collapse: 0.43×; split+binary_join:
+    0.67×) is slower than the C str-method pass ``fingerprint64`` already
+    does — the batch still has to decode to Python strings for hashlib
+    either way."""
     return pa.array(
-        np.array([fingerprint64(t) for t in arr.to_pylist()], dtype=np.uint64),
+        np.fromiter(
+            (fingerprint64(t) for t in arr.to_pylist()),
+            dtype=np.uint64,
+            count=len(arr),
+        ),
         pa.uint64(),
     )
