@@ -153,7 +153,12 @@ def bucketed_hash_join(
         lg = g.filter(pc.equal(g["__side"], "l")).select(on_cols + l_only)
         rg = g.filter(pc.equal(g["__side"], "r")).select(on_cols + r_only)
         out = lg.to_pandas().merge(rg.to_pandas(), on=on_cols, how=how)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # drop the b'pandas' schema metadata from_pandas attaches: it
+        # contains a dict, which makes the schema unhashable and trips
+        # Ray's schema-dedup ("Failed to hash the schemas") downstream
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
 
     return l.union(r).groupby("__bucket").map_groups(
         merge, batch_format="pyarrow", **remote_env()
