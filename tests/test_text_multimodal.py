@@ -194,3 +194,124 @@ def test_image_decoder_uses_real_ppm_decode(ray_session):
     media = make_synthetic_media_table(30)
     rows = decode_images(ray.data.from_arrow(media)).take_all()
     assert len(rows) == 30
+
+
+def test_png_roundtrip_real_pixels():
+    """encode_png → _decode_png must reproduce the exact pixels (real
+    dependency-free codec, not a stub)."""
+    from ulp_ray.stages.multimodal import _decode_png, encode_png
+
+    rng = np.random.default_rng(77)
+    img = rng.integers(0, 256, (23, 17, 3), dtype=np.uint8)
+    out = _decode_png(encode_png(img))
+    assert out.dtype == np.uint8 and out.shape == (23, 17, 3)
+    assert (out == img).all()
+    # 1×1 edge
+    one = rng.integers(0, 256, (1, 1, 3), dtype=np.uint8)
+    assert (_decode_png(encode_png(one)) == one).all()
+
+
+def test_png_all_filter_types_and_colors():
+    """Hand-built IDAT streams exercising every scanline filter (Sub, Up,
+    Average, Paeth) and color types 0/2/6, verified against an
+    independent byte-at-a-time reference unfilter."""
+    import struct
+    import zlib
+
+    from ulp_ray.stages.multimodal import _PNG_SIG, _decode_png, _png_chunk
+
+    def build_png(w, h, ctype, ch, raw_lines):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        raw = b"".join(raw_lines)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    def ref_unfilter(w, h, ch, raw):  # straight from the PNG spec
+        stride = w * ch
+        out = bytearray()
+        prev = bytes(stride)
+        pos = 0
+        for _ in range(h):
+            ft = raw[pos]
+            line = bytearray(raw[pos + 1 : pos + 1 + stride])
+            pos += 1 + stride
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if ft == 1:
+                    line[x] = (line[x] + a) & 0xFF
+                elif ft == 2:
+                    line[x] = (line[x] + b) & 0xFF
+                elif ft == 3:
+                    line[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                elif ft == 4:
+                    p = a + b - c
+                    pred = (
+                        a
+                        if (abs(p - a) <= abs(p - b) and abs(p - a) <= abs(p - c))
+                        else (b if abs(p - b) <= abs(p - c) else c)
+                    )
+                    line[x] = (line[x] + pred) & 0xFF
+            out += line
+            prev = bytes(line)
+        return np.frombuffer(bytes(out), np.uint8).reshape(h, w, ch)
+
+    rng = np.random.default_rng(5)
+    for ctype, ch in [(0, 1), (2, 3), (6, 4)]:
+        w, h = 7, 5
+        lines = [
+            bytes([ft]) + rng.integers(0, 256, w * ch, dtype=np.uint8).tobytes()
+            for ft in (0, 1, 2, 3, 4)  # one row per filter type
+        ]
+        png = build_png(w, h, ctype, ch, lines)
+        got = _decode_png(png)
+        want = ref_unfilter(w, h, ch, b"".join(lines))
+        if ctype == 0:
+            want = np.repeat(want, 3, axis=2)
+        elif ctype == 6:
+            want = want[:, :, :3]
+        assert (got == want).all(), (ctype, "filter mismatch")
+
+
+def test_png_rejects_corruption_and_unsupported():
+    import struct
+    import zlib as z
+
+    import pytest as pt
+
+    from ulp_ray.stages.multimodal import _decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    png = bytearray(encode_png(rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)))
+    png[40] ^= 0xFF  # corrupt a data byte → CRC must catch it
+    with pt.raises(ValueError, match="CRC"):
+        _decode_png(bytes(png))
+    with pt.raises(ValueError, match="not a PNG"):
+        _decode_png(b"JUNK")
+
+
+def test_image_decoder_decodes_real_png_rows(ray_session):
+    """The actor-pool decode path reports true dimensions for PNG rows
+    (proving the real codec runs, not the payload-hash stub)."""
+    import ray.data
+
+    from ulp_ray.stages.multimodal import decode_images, make_synthetic_media_table
+
+    tbl = make_synthetic_media_table(40, seed=11)
+    png_dims = {}
+    for r in tbl.to_pylist():
+        if r["media_type"] == "image/png":
+            import struct as st
+
+            w, h = st.unpack(">II", r["payload"][16:24])
+            png_dims[r["media_id"]] = (w, h)
+    assert png_dims  # the table contains PNG rows at all
+    out = decode_images(ray.data.from_arrow(tbl)).take_all()
+    for r in out:
+        if r["media_id"] in png_dims:
+            assert (r["width"], r["height"]) == png_dims[r["media_id"]]
