@@ -96,6 +96,11 @@ def run_bench() -> dict:
     # documented-unsafe (deadlock hazard)
     n_turns = _SF_TURNS.get(_sf_name(), 100_000)
     data = _ensure_transcripts(n_turns)
+    # 10M flagship leg (amortized regime — per-partition fixed costs
+    # vanish; BASELINE.md tracks it): only at the driver's sf0.1 config,
+    # where the extra ~20 s wall is proportionate. GRAFT_10M=0 skips.
+    run_10m = _sf_name() == "sf0.1" and os.environ.get("GRAFT_10M", "1") != "0"
+    data_10m = _ensure_transcripts(10_000_000) if run_10m else None
 
     if not ray.is_initialized():
         ray.init(
@@ -157,6 +162,17 @@ def run_bench() -> dict:
         "turns": n_turns,
         "turns_per_sec": round(n_turns / headline, 1),
     }
+
+    if run_10m:
+        out10 = f"/tmp/ulp_ray_bench/10m_cpus{NUM_CPUS}"
+        shutil.rmtree(out10, ignore_errors=True)
+        t0 = time.monotonic()
+        res10 = run_pipeline(data_10m, out10, partitions=8, resume=False)
+        wall10 = time.monotonic() - t0
+        assert res10.rows_routed == 10_000_000, res10.rows_routed
+        result["flagship_10m_sec"] = round(wall10, 3)
+        result["turns_per_sec_10m"] = round(10_000_000 / wall10, 1)
+
     ray.shutdown()
     return result
 
