@@ -156,3 +156,41 @@ def test_grouped_quantile_sketch_within_bin_width(ray_session):
         width = (g["v"].max() - g["v"].min()) / 256
         assert abs(approx[k] - exact[k]) <= width + 1e-9, k
     assert len(approx) == 40
+
+
+def test_grouped_quantile_sketch_null_key_group(ray_session):
+    """ADVICE r2: a null key that the exact grouped_quantile reports
+    (dropna=False) must also appear in the sketch output, with the same
+    within-bin-width accuracy."""
+    import numpy as np
+    import ray.data
+
+    from ulp_ray.stages.aggregate import grouped_quantile
+    from ulp_ray.stages.sketch import grouped_quantile_sketch
+
+    rng = np.random.default_rng(7)
+    n = 5_000
+    keys = np.array(["a", "b", None], dtype=object)[rng.integers(0, 3, n)]
+    tbl = pa.table(
+        {
+            "k": pa.array(keys, pa.string()),
+            "v": pa.array(rng.random(n) * 100.0, pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    approx = grouped_quantile_sketch(ds, ["k"], "v", 0.5, bins=256, out_col="m").to_pandas()
+    exact = grouped_quantile(ds, ["k"], "v", 0.5, out_col="m").to_pandas()
+    assert len(approx) == 3 and len(exact) == 3
+    a_null = approx[approx["k"].isna()]["m"]
+    e_null = exact[exact["k"].isna()]["m"]
+    assert len(a_null) == 1 and len(e_null) == 1
+    df = tbl.to_pandas()
+    nv = df[df["k"].isna()]["v"]
+    width = (nv.max() - nv.min()) / 256
+    assert abs(float(a_null.iloc[0]) - float(e_null.iloc[0])) <= width + 1e-9
+    # non-null keys agree too
+    for k in ("a", "b"):
+        av = float(approx[approx["k"] == k]["m"].iloc[0])
+        ev = float(exact[exact["k"] == k]["m"].iloc[0])
+        kv = df[df["k"] == k]["v"]
+        assert abs(av - ev) <= (kv.max() - kv.min()) / 256 + 1e-9

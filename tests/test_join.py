@@ -114,6 +114,23 @@ def test_key_hash_canonicalization_properties():
 
     prop()
 
+    # beyond-2^53 regression (ADVICE r2): int64 keys that differ only in
+    # bits below float64 precision must hash distinctly — snowflake-style
+    # adjacent IDs previously collapsed through the float64 promotion,
+    # correlating hash_split/deterministic_sample assignments
+    base = 2**62 + 3
+    big = pa.array([base + i for i in range(1000)], pa.int64())
+    h_big = key_hash_u64(big)
+    assert len(np.unique(h_big)) == 1000
+    # and the exact-int path is consistent with/without nulls in the column
+    big_null = pa.array([base, None, base + 1], pa.int64())
+    h_bn = key_hash_u64(big_null)
+    assert h_bn[0] == h_big[0] and h_bn[2] == h_big[1]
+    # float64 columns holding integral values still co-locate with int64
+    f = pa.array([5.0, -0.0, 2.0**40], pa.float64())
+    i = pa.array([5, 0, 2**40], pa.int64())
+    assert (key_hash_u64(f) == key_hash_u64(i)).all()
+
 
 def test_bucketed_anti_join(sides, ray_session):
     import ray.data

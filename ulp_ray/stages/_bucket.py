@@ -34,6 +34,7 @@ __all__ = [
 _HASH_KEY = "ulp_ray_bucket16"  # pd.util.hash_array key (exactly 16 bytes)
 _FNV = np.uint64(1099511628211)
 _NULL_SENTINEL = "\x00\x00null"
+_NULL_HASH = np.uint64(0x9E3779B97F4A7C15)  # fixed hash for null (and NaN) keys
 
 
 def hash_u64(values: np.ndarray) -> np.ndarray:
@@ -41,31 +42,57 @@ def hash_u64(values: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(values, hash_key=_HASH_KEY).astype(np.uint64)
 
 
+def _int_hash(col: pa.Array) -> np.ndarray:
+    """Exact int64 hash path: full 64-bit key entropy (no float64
+    precision collapse above 2^53 — snowflake-style IDs stay distinct),
+    nulls mapped to a fixed sentinel hash. uint64 values ≥ 2^63 wrap to
+    int64 deterministically."""
+    null_mask = np.asarray(col.is_null())
+    vals = col.fill_null(0).to_numpy(zero_copy_only=False)
+    h = hash_u64(vals.astype(np.int64, copy=False))
+    if null_mask.any():
+        h[null_mask] = _NULL_HASH
+    return h
+
+
 def key_hash_u64(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Per-row 64-bit hash of one Arrow column, canonicalized by type
-    family (numeric/bool → float64, temporal → float64 of int64 repr,
-    everything else → string with a null sentinel)."""
+    family so the same logical key hashes identically across physical
+    representations: bool/int/temporal → exact int64; float64 rows that
+    hold integral values in int64 range route through the SAME int64
+    path (a pandas round-trip promotes int-with-nulls to float64-with-
+    NaN — those keys must still co-locate with the int64 side); other
+    floats hash as float64; everything else → string with a null
+    sentinel. Nulls/NaN hash to a fixed sentinel."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     t = col.type
-    if pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_boolean(t):
-        vals = np.asarray(
-            col.cast(pa.float64()).to_numpy(zero_copy_only=False), dtype=np.float64
-        )
-    elif (
+    if pa.types.is_boolean(t):
+        return _int_hash(col.cast(pa.int64()))
+    if pa.types.is_integer(t):
+        return _int_hash(col)
+    if (
         pa.types.is_timestamp(t)
         or pa.types.is_date(t)
         or pa.types.is_time(t)
         or pa.types.is_duration(t)
     ):
-        vals = np.asarray(
-            col.cast(pa.int64()).cast(pa.float64()).to_numpy(zero_copy_only=False),
-            dtype=np.float64,
+        return _int_hash(col.cast(pa.int64()))
+    if pa.types.is_floating(t):
+        null_mask = np.asarray(col.is_null())
+        v = np.asarray(
+            col.cast(pa.float64()).to_numpy(zero_copy_only=False), dtype=np.float64
         )
-    else:
-        s = pc.fill_null(pc.cast(col, pa.string()), _NULL_SENTINEL)
-        vals = s.to_numpy(zero_copy_only=False)
-    return hash_u64(vals)
+        fin = np.isfinite(v)
+        integral = fin & (np.floor(v) == v) & (np.abs(v) < 2.0**63)
+        iv = np.where(integral, v, 0.0).astype(np.int64)
+        h = np.where(integral, hash_u64(iv), hash_u64(v)).astype(np.uint64)
+        bad = null_mask | np.isnan(v)
+        if bad.any():
+            h[bad] = _NULL_HASH
+        return h
+    s = pc.fill_null(pc.cast(col, pa.string()), _NULL_SENTINEL)
+    return hash_u64(s.to_numpy(zero_copy_only=False))
 
 
 def combine_hash(h: np.ndarray, hc: np.ndarray) -> np.ndarray:

@@ -189,6 +189,16 @@ def assemble_conversations(ds, buckets: int = 64):
         change = np.ones(n, dtype=bool)
         change[1:] = conv[1:] != conv[:-1]
         starts = np.flatnonzero(change)
+        # list<> offsets are int32: a silent astype would WRAP past 2^31
+        # rows per bucket and corrupt the turns column. Guard loudly —
+        # the fix is more buckets, not a schema change (the contract
+        # pins list<struct>, not large_list).
+        if n >= 2**31:
+            raise ValueError(
+                f"bucket holds {n} turns, over the int32 list-offset "
+                f"limit; raise buckets= (currently {buckets}) so each "
+                "hash bucket stays under 2^31 rows"
+            )
         offsets = np.concatenate([starts, [n]]).astype(np.int32)
         # explicit field types: pandas inference would give a null-typed
         # field when e.g. every tool in the bucket is null

@@ -109,17 +109,38 @@ def grouped_quantile_sketch(
     Returns a Dataset ``keys + [out_col]``.
     """
     import ray
+    import pyarrow.compute as pc
 
     from .aggregate import sum_rollup
 
     key_list = list(keys)
     name = out_col or f"q{q}"
+    _NULLK = "\x00\x00null"
+
+    def _mk_arrow(tbl: pa.Table) -> pa.Array:
+        """Sentinel-encoded string merge key over the key columns, built
+        from the ARROW representation on both sides so null keys survive
+        the pandas merge (NaN never equi-joins) and int-with-null key
+        columns can't desync between a null-free batch (int64) and the
+        broadcast bounds (float64 after to_pandas)."""
+        parts = []
+        for k in key_list:
+            col = tbl[k]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            parts.append(pc.fill_null(pc.cast(col, pa.string()), _NULLK))
+        if len(parts) == 1:
+            return parts[0]
+        return pc.binary_join_element_wise(*parts, "\x1f")
 
     def minmax_partial(batch: pa.Table) -> pa.Table:
-        g = batch.select(key_list + [value_col]).group_by(key_list).aggregate(
+        batch = batch.select(key_list + [value_col])
+        batch = batch.append_column("__mk", _mk_arrow(batch))
+        # pyarrow group_by keeps null keys as their own group
+        g = batch.group_by(["__mk"] + key_list).aggregate(
             [(value_col, "min"), (value_col, "max")]
         )
-        cols = {k: g[k] for k in key_list}
+        cols = {"__mk": g["__mk"], **{k: g[k] for k in key_list}}
         cols["lo"] = g[f"{value_col}_min"]
         cols["hi"] = g[f"{value_col}_max"]
         return pa.table(cols)
@@ -128,40 +149,48 @@ def grouped_quantile_sketch(
         minmax_partial, batch_format="pyarrow", batch_size=None, **remote_env()
     ).to_pandas()  # tiny: O(keys × blocks) fixed-width rows
     bounds = (
-        mm_partials.groupby(key_list, sort=True, dropna=False)
-        .agg(__lo=("lo", "min"), __hi=("hi", "max"))
+        mm_partials.groupby("__mk", sort=True)
+        .agg(
+            **{k: (k, "first") for k in key_list},
+            __lo=("lo", "min"),
+            __hi=("hi", "max"),
+        )
         .reset_index()
     )
-    bounds_ref = ray.put(bounds)  # broadcast once, merged per batch
+    bounds_ref = ray.put(bounds[["__mk", "__lo", "__hi"]])  # broadcast once
     # pre-indexed copy for the final read-off (avoids re-building the
     # index in every bucket callback); the bounds side is an O(keys)
     # broadcast — the same footprint class as a broadcast-join small side
-    bounds_idx_ref = ray.put(bounds.set_index(key_list))
+    bounds_idx_ref = ray.put(bounds.set_index("__mk"))
 
-    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def hist_partial(batch: pa.Table) -> pa.Table:
         # no empty-df special case: merge/clip/groupby on an empty frame
-        # preserve the key dtypes (a hand-built empty frame would be
+        # preserve the dtypes (a hand-built empty frame would be
         # all-float64 and break the Arrow concat in sum_rollup)
         bdf = ray.get(bounds_ref)
-        df = batch[key_list + [value_col]].dropna(subset=[value_col])
-        df = df.merge(bdf, on=key_list)  # vectorized bounds lookup
+        batch = batch.select(key_list + [value_col])
+        batch = batch.append_column("__mk", _mk_arrow(batch))
+        df = batch.select(["__mk", value_col]).to_pandas()
+        df = df.dropna(subset=[value_col])
+        df = df.merge(bdf, on="__mk")  # string key: null groups survive
         lo_arr = df["__lo"].to_numpy(dtype=np.float64)
         width = np.maximum(
             df["__hi"].to_numpy(dtype=np.float64) - lo_arr, 1e-300
         )
         v = df[value_col].to_numpy(dtype=np.float64)
         b = np.clip(((v - lo_arr) / width * bins).astype(np.int64), 0, bins - 1)
-        out = df[key_list].copy()
+        out = df[["__mk"]].copy()
         out["__bin"] = b
-        return out.groupby(key_list + ["__bin"], sort=False).size().reset_index(
+        out = out.groupby(["__mk", "__bin"], sort=False).size().reset_index(
             name="n"
         )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     hist = sum_rollup(
         ds.map_batches(
-            hist_partial, batch_format="pandas", batch_size=None, **remote_env()
+            hist_partial, batch_format="pyarrow", batch_size=None, **remote_env()
         ),
-        key_list + ["__bin"],
+        ["__mk", "__bin"],
         ["n"],
         count_col=None,
     )
@@ -170,9 +199,8 @@ def grouped_quantile_sketch(
         # per-key loop over the already-reduced histogram only (≤ bins
         # rows per key; O(bins) numpy per iteration)
         bdf = ray.get(bounds_idx_ref)
-        out_rows = []
-        for k, grp in g.groupby(key_list, sort=True):
-            kt = k if isinstance(k, tuple) else (k,)
+        mks, ests = [], []
+        for mk, grp in g.groupby("__mk", sort=True):
             counts = np.zeros(bins, dtype=np.int64)
             counts[grp["__bin"].to_numpy()] = grp["n"].to_numpy()
             total = counts.sum()
@@ -183,17 +211,21 @@ def grouped_quantile_sketch(
             prev = cum[bi - 1] if bi > 0 else 0
             in_bin = counts[bi]
             frac = (target - prev) / in_bin if in_bin else 0.0
-            b_lo, b_hi = bdf.loc[k, "__lo"], bdf.loc[k, "__hi"]
-            est = b_lo + (bi + frac) * ((b_hi - b_lo) / bins)
-            out_rows.append(dict(zip(key_list, kt)) | {name: est})
-        return pd.DataFrame(out_rows)
+            b_lo, b_hi = bdf.loc[mk, "__lo"], bdf.loc[mk, "__hi"]
+            mks.append(mk)
+            ests.append(b_lo + (bi + frac) * ((b_hi - b_lo) / bins))
+        # slice the broadcast frame so key-column dtypes are identical in
+        # every bucket's output (a hand-built frame would re-infer them)
+        out = bdf.loc[mks, key_list].reset_index(drop=True)
+        out[name] = np.asarray(ests, dtype=np.float64)
+        return out
 
     # final read-off: the histogram is tiny (keys × bins) — co-group by
     # key hash bucket, vectorized within
     from ._bucket import with_bucket
 
     return (
-        with_bucket(hist, key_list, 64)
+        with_bucket(hist, ["__mk"], 64)
         .groupby("__bucket")
         .map_groups(quantiles, batch_format="pandas", **remote_env())
     )
