@@ -178,3 +178,27 @@ def test_bucketed_anti_join_empty_right(sides, ray_session):
 
     out = bucketed_anti_join(orders_ds, empty, on="o_custkey", right_on="k")
     assert out.count() == 100
+
+
+def test_bucketed_semi_join(sides, ray_session):
+    import ray.data
+
+    from ulp_ray.stages.join import bucketed_semi_join
+
+    orders_ds, _ = sides
+    keep = ray.data.from_arrow(
+        pa.table({"good_key": pa.array([1, 3, 3, None], pa.int64())})
+    )
+    out = bucketed_semi_join(orders_ds, keep, on="o_custkey", right_on="good_key")
+    rows = out.take_all()
+    assert rows and all(r["o_custkey"] in (1, 3) for r in rows)
+    # no duplication: each left row appears once despite duplicate right keys
+    base = [r for r in orders_ds.take_all() if r["o_custkey"] in (1, 3)]
+    assert len(rows) == len(base)
+    # EXISTS semantics: a null left key never matches, even with a null
+    # right key present
+    left_null = ray.data.from_arrow(
+        pa.table({"o_custkey": pa.array([None, 1], pa.int64())})
+    )
+    got = bucketed_semi_join(left_null, keep, on="o_custkey", right_on="good_key").take_all()
+    assert [r["o_custkey"] for r in got] == [1]

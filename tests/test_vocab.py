@@ -1,0 +1,167 @@
+"""Vocabulary / doc-frequency folds, PII redaction, contamination
+screening, stratified sampling — the round-3 LLM-pipeline additions."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import ray.data
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog  sat",          # double space: no empty token
+        " leading and trailing ",
+        "cat cat cat",
+        None,
+        "",
+        "unique",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(3), t
+
+
+def test_vocabulary_matches_duckdb(docs):
+    import duckdb
+
+    from ulp_ray.stages.vocab import vocabulary
+
+    ds, t = docs
+    got = vocabulary(ds, "text").to_pandas().sort_values("token").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        "SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+        "SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token FROM t"
+        ") WHERE token <> '' GROUP BY token ORDER BY token"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp)
+    # min_count filter applies after the global fold
+    got2 = vocabulary(ds, "text", min_count=3).to_pandas()
+    assert set(got2["token"]) == {"the", "cat"}
+
+
+def test_doc_frequency_counts_each_doc_once(docs):
+    from ulp_ray.stages.vocab import doc_frequency
+
+    ds, t = docs
+    got = doc_frequency(ds, "text").to_pandas().set_index("token")["df"]
+    # 'cat' appears in 2 docs (3 times in one of them); 'the' in 2 docs
+    assert got["cat"] == 2
+    assert got["the"] == 2
+    assert got["sat"] == 2
+    assert got["unique"] == 1
+    # oracle: every df must equal the distinct-doc count
+    df = t.to_pandas().dropna(subset=["text"])
+    import re
+
+    exp: dict = {}
+    for _, row in df.iterrows():
+        for tok in set(re.split(r"\s+", row["text"])) - {""}:
+            exp[tok] = exp.get(tok, 0) + 1
+    assert got.to_dict() == exp
+
+
+def test_redact_pii_matches_duckdb(ray_session):
+    """The Arrow redaction and a DuckDB regexp_replace chain with the
+    SAME patterns must agree byte-for-byte (both are RE2)."""
+    import duckdb
+
+    from ulp_ray.functions.text import PII_PATTERNS, redact_pii
+
+    texts = [
+        "mail me at bob.smith+x@ex-ample.co.uk ok",
+        "ip 10.0.255.1 end",
+        "call 555-123-4567 now",
+        "nothing to see",
+        None,
+        "a@b.cd and 1.2.3.4 or 555.1234.5678",
+        "x@y.z notld stays",
+        "two a@b.io c@d.io",
+        "v6 2001:db8::1 is out of scope",
+    ]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    expr = "text"
+    for p, r in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = [row[0] for row in con.execute(f"SELECT {expr} FROM t").fetchall()]
+    got = redact_pii(t["text"]).to_pylist()
+    assert got == exp
+    assert got[0] == "mail me at <EMAIL> ok"
+    assert got[4] is None
+
+
+def test_contamination_flag_and_drop(docs):
+    from ulp_ray.stages.contamination import drop_contaminated, flag_contaminated
+
+    ds, _ = docs
+    probes = ["cat sat", "unique"]
+    flagged = {
+        r["doc_id"]: r["contaminated"]
+        for r in flag_contaminated(ds, probes).take_all()
+    }
+    assert flagged[0] is True      # contains "cat sat"
+    assert flagged[1] is False
+    assert flagged[3] is False     # "cat cat cat" has no probe substring
+    assert flagged[4] is None      # null text stays null
+    assert flagged[6] is True      # "unique"
+    kept = sorted(r["doc_id"] for r in drop_contaminated(ds, probes).take_all())
+    assert kept == [1, 2, 3, 4, 5]  # null text kept, contaminated dropped
+    # probes that are regex metacharacters are matched literally
+    import ray.data
+
+    t2 = ray.data.from_arrow(
+        pa.table({"text": pa.array(["a.b c", "axb c"]), "doc_id": pa.array([0, 1], pa.int64())})
+    )
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in flag_contaminated(t2, ["a.b"]).take_all()
+    }
+    assert got == {0: True, 1: False}
+
+
+def test_stratified_sample_properties(ray_session):
+    import ray.data
+
+    from ulp_ray.stages.split import stratified_sample
+
+    rng = np.random.default_rng(3)
+    n = 30_000
+    src = np.array(["web", "code", "wiki"])[rng.integers(0, 3, n)]
+    t = pa.table(
+        {
+            "key": pa.array([f"k{i}" for i in rng.integers(0, n // 3, n)], pa.string()),
+            "source": pa.array(src, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    fr = {"web": 0.25, "code": 1.0}  # wiki absent -> dropped
+    out = stratified_sample(ds, "source", fr, key="key").to_pandas()
+    counts = out["source"].value_counts()
+    base = pd.Series(src).value_counts()
+    assert "wiki" not in counts
+    assert counts["code"] == base["code"]  # fraction 1.0 keeps all
+    assert abs(counts["web"] / base["web"] - 0.25) < 0.05
+    # deterministic: second run identical
+    out2 = stratified_sample(ds, "source", fr, key="key").to_pandas()
+    assert sorted(out["key"] + out["source"]) == sorted(out2["key"] + out2["source"])
+    # group-atomic on key: every key is fully in or fully out per stratum
+    df = t.to_pandas()
+    in_keys = set(out[out["source"] == "web"]["key"])
+    all_web = df[df["source"] == "web"]
+    for k, grp in all_web.groupby("key"):
+        assert (k in in_keys) == (len(grp[grp["key"].isin(in_keys)]) == len(grp))
+    # float form: same share of every stratum
+    out3 = stratified_sample(ds, "source", 0.5, key="key").to_pandas()
+    for s in ("web", "code", "wiki"):
+        assert abs(out3["source"].value_counts()[s] / base[s] - 0.5) < 0.06

@@ -158,3 +158,92 @@ def test_running_aggregate_out_col_collision_rejected(ray_session):
     )
     with _pytest.raises(ValueError, match="collides"):
         running_aggregate(ds, "k", "o", "v", "cumsum", out_col="k")
+
+
+def test_rolling_aggregate_matches_duckdb(ray_session):
+    """rolling mean/sum/min/count vs the exact SQL window-frame oracle
+    (ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW), incl. null values."""
+    import duckdb
+    import ray.data
+
+    from ulp_ray.stages.window import rolling_aggregate
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    v = rng.random(n) * 100
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 37, n), pa.int64()),
+            "o": pa.array(rng.permutation(n), pa.int64()),  # unique order
+            # real Arrow NULLs (NaN would be a *value* to DuckDB)
+            "v": pa.array(v, pa.float64(), mask=rng.random(n) < 0.1),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    con = duckdb.connect()
+    con.register("t", t)
+    for agg, sql_fn in [("mean", "AVG"), ("sum", "SUM"), ("min", "MIN"), ("count", "COUNT")]:
+        got = (
+            rolling_aggregate(ds, "k", ["o"], "v", window_rows=5, agg=agg, out_col="r")
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        exp = con.execute(
+            f"SELECT k, o, {sql_fn}(v) OVER (PARTITION BY k ORDER BY o "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS r FROM t "
+            "ORDER BY k, o"
+        ).df()
+        assert len(got) == len(exp) == n
+        ge, ee = got["r"].to_numpy(dtype=np.float64), exp["r"].to_numpy(dtype=np.float64)
+        both_nan = np.isnan(ge) & np.isnan(ee)
+        assert (both_nan | (np.abs(ge - ee) < 1e-9)).all(), agg
+
+
+def test_grouped_rank_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from ulp_ray.stages.window import grouped_rank
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 29, n), pa.int64()),
+            "o": pa.array(rng.integers(0, 50, n), pa.int64()),  # ties!
+            "tie": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    con = duckdb.connect()
+    con.register("t", t)
+    # row_number with a unique tiebreaker is fully deterministic
+    got = (
+        grouped_rank(ds, ["k"], ["o", "tie"], method="row_number", out_col="rn")
+        .to_pandas()
+        .sort_values(["k", "o", "tie"])
+        .reset_index(drop=True)
+    )
+    exp = con.execute(
+        "SELECT k, o, tie, ROW_NUMBER() OVER (PARTITION BY k ORDER BY o, tie) "
+        "AS rn FROM t ORDER BY k, o, tie"
+    ).df()
+    assert (got["rn"].to_numpy() == exp["rn"].to_numpy()).all()
+    # rank / dense_rank share tied ranks — no tiebreaker needed
+    for method, sql in [("rank", "RANK()"), ("dense_rank", "DENSE_RANK()")]:
+        got = (
+            grouped_rank(ds, ["k"], ["o"], method=method, out_col="r")
+            .to_pandas()
+            .sort_values(["k", "o", "tie"])
+            .reset_index(drop=True)
+        )
+        exp = con.execute(
+            f"SELECT k, o, tie, {sql} OVER (PARTITION BY k ORDER BY o) AS r "
+            "FROM t ORDER BY k, o, tie"
+        ).df()
+        # ties make row order within (k,o) ambiguous, but rank depends
+        # only on (k,o) — compare the (k,o)->rank mapping
+        gm = got.groupby(["k", "o"])["r"].first()
+        em = exp.groupby(["k", "o"])["r"].first()
+        assert (gm == em).all(), method

@@ -22,7 +22,30 @@ __all__ = [
     "quality_features",
     "fingerprint64",
     "fingerprint_batch",
+    "redact_pii",
+    "PII_PATTERNS",
 ]
+
+# PII redaction patterns, applied IN ORDER (emails before IPs before
+# phones — an email's domain may contain digit runs a later pattern
+# would half-match). RE2 syntax on purpose: pyarrow's
+# replace_substring_regex and DuckDB's regexp_replace both run RE2, so
+# the SQL oracle can apply the *identical* strings with 'g'.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """Vectorized PII masking over a string column: emails, dotted-quad
+    IPs and phone-shaped digit runs become typed sentinels. One RE2 pass
+    per pattern (Arrow ``replace_substring_regex`` replaces ALL
+    occurrences), no Python per row. Nulls pass through as null."""
+    for pattern, repl in PII_PATTERNS:
+        arr = pc.replace_substring_regex(arr, pattern=pattern, replacement=repl)
+    return arr
 
 # a GPT-2-style pre-tokenizer regex (public pattern family): contractions,
 # letter runs, digit runs, punctuation runs, whitespace

@@ -47,11 +47,13 @@ def _int_hash(col: pa.Array) -> np.ndarray:
     precision collapse above 2^53 — snowflake-style IDs stay distinct),
     nulls mapped to a fixed sentinel hash. uint64 values ≥ 2^63 wrap to
     int64 deterministically."""
+    if col.null_count == 0:
+        vals = col.to_numpy(zero_copy_only=False)
+        return hash_u64(vals.astype(np.int64, copy=False))
     null_mask = np.asarray(col.is_null())
     vals = col.fill_null(0).to_numpy(zero_copy_only=False)
     h = hash_u64(vals.astype(np.int64, copy=False))
-    if null_mask.any():
-        h[null_mask] = _NULL_HASH
+    h[null_mask] = _NULL_HASH
     return h
 
 

@@ -26,7 +26,12 @@ import pyarrow as pa
 
 from .._env import remote_env
 
-__all__ = ["broadcast_join", "bucketed_hash_join", "bucketed_anti_join"]
+__all__ = [
+    "broadcast_join",
+    "bucketed_hash_join",
+    "bucketed_anti_join",
+    "bucketed_semi_join",
+]
 
 
 def broadcast_join(
@@ -165,26 +170,21 @@ def bucketed_hash_join(
     )
 
 
-def bucketed_anti_join(
+def _bucketed_membership_join(
     left,
     right,
     on: str,
-    right_on: str | None = None,
-    buckets: int = 64,
+    right_on: str | None,
+    buckets: int,
+    keep_matched: bool,
+    null_matches_null: bool,
 ):
-    """Anti join: ``left`` rows whose ``on`` value does NOT appear in
-    ``right[right_on]``. Both sides co-grouped by ``hash(key) % buckets``
-    (fixed-width exchange on the exclusion side — only its key column
-    ships), in-bucket membership via one vectorized ``pc.is_in`` per
-    bucket.
-
-    This is the scale-safe replacement for a driver-side id set +
-    broadcast filter: the exclusion set may be O(corpus) (heavily
-    duplicated crawls), so it stays a Dataset end-to-end. Null semantics:
-    a null left key is dropped iff the right side contains a null key
-    (containment, pandas-style — not SQL ``NOT IN``'s three-valued
-    logic, which would drop every row once any null appears on the
-    right)."""
+    """Shared core of the semi/anti joins: co-group both sides by
+    ``hash(key) % buckets`` (only the right side's key column ships —
+    a fixed-width exchange), then one vectorized ``pc.is_in`` per
+    bucket decides membership. ``keep_matched`` selects semi (True) vs
+    anti (False); ``null_matches_null`` controls whether a null left
+    key counts as present when the right side holds a null key."""
     rkey = right_on or on
     lt = dict(zip(left.schema().names, left.schema().types))
     rt = dict(zip(right.schema().names, right.schema().types))
@@ -216,20 +216,69 @@ def bucketed_anti_join(
     l = left.map_batches(tag_left, batch_format="pyarrow", **remote_env())
     r = right.map_batches(tag_right, batch_format="pyarrow", **remote_env())
 
-    def anti(g: pa.Table) -> pa.Table:
+    def member(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         lg = g.filter(pc.equal(g["__side"], "l"))
         rvals = g.filter(pc.equal(g["__side"], "r"))[on].combine_chunks()
-        # containment rule, explicit (pc.is_in's null handling varies by
-        # version): null ∈ right iff right has a null key
+        # membership rule, explicit (pc.is_in's null handling varies by
+        # version): a null left key only matches when the caller opted
+        # into containment semantics AND the right side has a null key
         in_right = pc.fill_null(
             pc.is_in(lg[on], value_set=rvals.drop_null()), False
         )
-        if rvals.null_count > 0:
+        if null_matches_null and rvals.null_count > 0:
             in_right = pc.or_(in_right, pc.is_null(lg[on]))
-        return lg.filter(pc.invert(in_right)).select(lcols)
+        mask = in_right if keep_matched else pc.invert(in_right)
+        return lg.filter(mask).select(lcols)
 
     return l.union(r).groupby("__bucket").map_groups(
-        anti, batch_format="pyarrow", **remote_env()
+        member, batch_format="pyarrow", **remote_env()
+    )
+
+
+def bucketed_anti_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    buckets: int = 64,
+):
+    """Anti join: ``left`` rows whose ``on`` value does NOT appear in
+    ``right[right_on]``. Both sides co-grouped by ``hash(key) % buckets``
+    (fixed-width exchange on the exclusion side — only its key column
+    ships), in-bucket membership via one vectorized ``pc.is_in`` per
+    bucket.
+
+    This is the scale-safe replacement for a driver-side id set +
+    broadcast filter: the exclusion set may be O(corpus) (heavily
+    duplicated crawls), so it stays a Dataset end-to-end. Null semantics:
+    a null left key is dropped iff the right side contains a null key
+    (containment, pandas-style — not SQL ``NOT IN``'s three-valued
+    logic, which would drop every row once any null appears on the
+    right)."""
+    return _bucketed_membership_join(
+        left, right, on, right_on, buckets,
+        keep_matched=False, null_matches_null=True,
+    )
+
+
+def bucketed_semi_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    buckets: int = 64,
+):
+    """Semi join: ``left`` rows whose ``on`` value appears in
+    ``right[right_on]`` — the SQL ``WHERE EXISTS (SELECT 1 FROM right
+    WHERE right.key = left.key)`` shape: no right columns, no row
+    duplication however many right matches exist, and a null left key
+    never matches (NULL = NULL is unknown in SQL).
+
+    Same co-group contract and cost shape as the anti join: only the
+    right side's key column ships."""
+    return _bucketed_membership_join(
+        left, right, on, right_on, buckets,
+        keep_matched=True, null_matches_null=False,
     )

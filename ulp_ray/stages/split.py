@@ -19,7 +19,7 @@ import pyarrow as pa
 from .._env import remote_env
 from ._bucket import key_hash_u64
 
-__all__ = ["hash_split", "deterministic_sample"]
+__all__ = ["hash_split", "deterministic_sample", "stratified_sample"]
 
 _SCALE = float(1 << 64)
 
@@ -126,5 +126,48 @@ def deterministic_sample(ds, key: str, fraction: float, salt: int = 0):
     def fn(batch: pa.Table) -> pa.Table:
         u = _unit_interval(batch, key, salt)
         return batch.filter(pa.array(u < fraction))
+
+    return ds.map_batches(fn, batch_format="pyarrow", **remote_env())
+
+
+def stratified_sample(
+    ds,
+    strata_col: str,
+    fractions: dict | float,
+    key: str,
+    salt: int = 0,
+):
+    """Deterministic per-stratum sampling: keep ``fractions[stratum]``
+    (or a single fraction for every stratum) of each stratum, chosen by
+    hash(key) — group-atomic on ``key`` like :func:`deterministic_sample`
+    (all rows of one key share a fate), stable across runs/retries, and
+    fully streaming (the per-stratum thresholds are a tiny dict shipped
+    in the task closure — no shuffle, no per-stratum pass).
+
+    Strata absent from a ``fractions`` dict are DROPPED (explicit
+    opt-in per stratum — the downsample-overrepresented-sources use
+    case); pass a float to keep the same share of every stratum."""
+    import pyarrow.compute as pc
+
+    if isinstance(fractions, dict):
+        for k, f in fractions.items():
+            if not 0.0 <= f <= 1.0:
+                raise ValueError(f"fraction {f} for stratum {k!r} outside [0, 1]")
+        frac_map = {str(k): float(f) for k, f in fractions.items()}
+        default = 0.0
+    else:
+        if not 0.0 <= fractions <= 1.0:
+            raise ValueError(f"fraction {fractions} outside [0, 1]")
+        frac_map = {}
+        default = float(fractions)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        u = _unit_interval(batch, key, salt)
+        if frac_map:
+            strata = pc.cast(batch[strata_col], pa.string()).to_pandas()
+            thresh = strata.map(frac_map).fillna(default).to_numpy(dtype=np.float64)
+        else:
+            thresh = default
+        return batch.filter(pa.array(u < thresh))
 
     return ds.map_batches(fn, batch_format="pyarrow", **remote_env())

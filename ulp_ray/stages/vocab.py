@@ -1,0 +1,120 @@
+"""Corpus vocabulary / document-frequency folds over a text column.
+
+Classic LLM-data-pipeline building blocks (token frequency tables feed
+tokenizer training, stopword induction, TF-IDF weighting and quality
+filters). Both operators are pure partial-per-block + Sum shapes: raw
+text never shuffles — each block collapses to (token, count) partials
+via Arrow kernels, and only those fixed-width rows cross the exchange.
+At 100 TB the vocabulary itself can be large (billions of distinct
+tokens); the underlying :func:`ulp_ray.stages.aggregate.sum_rollup`
+auto-switches from the driver fold to the distributed Sum aggregate
+above its partial-row threshold, so the fold never assumes the
+vocabulary fits on the driver.
+
+Tokenization is whitespace-split (Unicode), matching the SQL-oracle
+form ``regexp_split_to_array(text, '\\s+')`` with empty tokens dropped
+— keep the two in lockstep or the oracle comparison is meaningless.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .._env import remote_env
+
+__all__ = ["vocabulary", "doc_frequency"]
+
+
+def _flat_tokens(col) -> pa.Array:
+    """Flatten a text column into its non-empty whitespace tokens."""
+    toks = pc.list_flatten(pc.utf8_split_whitespace(col))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    return toks.filter(pc.not_equal(toks, ""))
+
+
+def vocabulary(ds, text_col: str = "text", min_count: int = 1):
+    """Corpus term-frequency table: Dataset ``(token, n)`` with
+    ``n >= min_count``.
+
+    Per block: split → flatten → one Arrow ``value_counts`` (C-level);
+    partials then Sum per token. The ``min_count`` filter applies AFTER
+    the global fold (a token rare in every block can still clear the
+    bar corpus-wide)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = _flat_tokens(batch[text_col])
+        vc = toks.value_counts()
+        return pa.table(
+            {"token": vc.field("values"), "n": vc.field("counts")}
+        )
+
+    from .aggregate import sum_rollup
+
+    out = sum_rollup(
+        ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=None, **remote_env()
+        ),
+        ["token"],
+        ["n"],
+        count_col=None,
+    )
+    if min_count > 1:
+        out = out.filter(expr=f"n >= {min_count}")
+    return out
+
+
+def doc_frequency(ds, text_col: str = "text", min_count: int = 1):
+    """Document-frequency table: Dataset ``(token, df)`` where ``df`` is
+    the number of documents containing the token at least once.
+
+    Correctness contract: one row = one document (true for the
+    ``documents`` table). Per block, (doc, token) pairs are deduplicated
+    with a single C-level ``np.unique`` over (parent row index, token)
+    before counting, so a token repeated inside one document counts
+    once; documents never span blocks, so per-block partials sum
+    exactly."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch[text_col])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        tok_np = flat.to_numpy(zero_copy_only=False)[keep]
+        par_np = parents[keep]
+        # dedup (doc, token) pairs: hash-factorize tokens once (O(n),
+        # no string sort), then unique over the (parent, token_id) int
+        # pair — all C-level
+        import pandas as pd
+
+        tok_id, uniq_tok = pd.factorize(tok_np)
+        n_tok = max(len(uniq_tok), 1)
+        pair = par_np.astype(np.int64) * np.int64(n_tok) + tok_id
+        uniq_pair = np.unique(pair)
+        counts = np.bincount(
+            (uniq_pair % n_tok).astype(np.int64), minlength=len(uniq_tok)
+        )[: len(uniq_tok)]
+        return pa.table(
+            {
+                "token": pa.array(uniq_tok, pa.string()),
+                "df": pa.array(counts, pa.int64()),
+            }
+        )
+
+    from .aggregate import sum_rollup
+
+    out = sum_rollup(
+        ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=None, **remote_env()
+        ),
+        ["token"],
+        ["df"],
+        count_col=None,
+    )
+    if min_count > 1:
+        out = out.filter(expr=f"df >= {min_count}")
+    return out

@@ -36,6 +36,8 @@ __all__ = [
     "sliding_counts",
     "session_windows",
     "running_aggregate",
+    "rolling_aggregate",
+    "grouped_rank",
 ]
 
 
@@ -135,6 +137,117 @@ def running_aggregate(
 
     return (
         with_bucket(ds, [key], buckets)
+        .groupby("__bucket")
+        .map_groups(run, batch_format="pandas", **remote_env())
+    )
+
+
+def rolling_aggregate(
+    ds,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    window_rows: int,
+    agg: str = "mean",
+    out_col: str | None = None,
+    buckets: int = 64,
+):
+    """Per-key rolling row-frame aggregate — the SQL
+    ``AVG(v) OVER (PARTITION BY key ORDER BY o ROWS BETWEEN w-1
+    PRECEDING AND CURRENT ROW)`` shape (``agg``: ``mean`` / ``sum`` /
+    ``min`` / ``max`` / ``count``), with SQL null semantics: nulls in
+    the frame are skipped; an all-null frame yields null.
+
+    ``order_cols`` should include a unique tiebreaker (e.g. ``[ts,
+    event_id]``) — SQL leaves tied orders implementation-defined, and a
+    pinned total order is what makes the output oracle-comparable.
+
+    Same co-group contract as :func:`session_windows`: a key's whole
+    history lands in one hash bucket; the in-bucket body is one sort +
+    one C-level ``pandas GroupBy.rolling`` kernel over all of the
+    bucket's keys. Output: input columns + ``out_col``."""
+    if agg not in ("mean", "sum", "min", "max", "count"):
+        raise ValueError(f"unsupported rolling agg {agg!r}")
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    name = out_col or f"rolling_{agg}_{value_col}"
+    if name in ds.schema().names:
+        raise ValueError(
+            f"out_col {name!r} collides with an input column — pass out_col"
+        )
+
+    from ._bucket import with_bucket
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + list(order_cols), kind="stable").drop(
+            columns="__bucket"
+        )
+        rolled = (
+            g.groupby(key, sort=False, dropna=False)[value_col]
+            .rolling(window_rows, min_periods=1)
+            .agg(agg)
+        )
+        # rolling() prepends the group key level; droplevel leaves the
+        # original row index for exact alignment back onto g
+        g[name] = rolled.droplevel(0)
+        if agg == "count":
+            g[name] = g[name].astype(np.int64)
+        return g
+
+    return (
+        with_bucket(ds, [key], buckets)
+        .groupby("__bucket")
+        .map_groups(run, batch_format="pandas", **remote_env())
+    )
+
+
+def grouped_rank(
+    ds,
+    keys: list[str],
+    order_cols: list[str],
+    method: str = "row_number",
+    out_col: str | None = None,
+    buckets: int = 64,
+):
+    """Per-group ranking — SQL ``ROW_NUMBER() / RANK() / DENSE_RANK()
+    OVER (PARTITION BY keys ORDER BY order_cols)``.
+
+    ``row_number`` accepts multiple order columns (include a unique
+    tiebreaker for a deterministic, oracle-comparable result);
+    ``rank`` / ``dense_rank`` rank on the first order column (SQL ties
+    share a rank, so no tiebreaker is needed for them).
+
+    Bucketed co-group like the other window ops: one sort + one C-level
+    pandas kernel per bucket. Output: input columns + ``out_col``."""
+    if method not in ("row_number", "rank", "dense_rank"):
+        raise ValueError(f"unsupported rank method {method!r}")
+    name = out_col or method
+    if name in ds.schema().names:
+        raise ValueError(
+            f"out_col {name!r} collides with an input column — pass out_col"
+        )
+    key_list = list(keys)
+
+    from ._bucket import with_bucket
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_list + list(order_cols), kind="stable").drop(
+            columns="__bucket"
+        )
+        grouped = g.groupby(key_list, sort=False, dropna=False)
+        if method == "row_number":
+            g[name] = (grouped.cumcount() + 1).astype(np.int64)
+        else:
+            pd_method = {"rank": "min", "dense_rank": "dense"}[method]
+            g[name] = (
+                grouped[order_cols[0]]
+                .rank(method=pd_method, na_option="bottom")
+                .astype(np.int64)
+            )
+        return g
+
+    return (
+        with_bucket(ds, key_list, buckets)
         .groupby("__bucket")
         .map_groups(run, batch_format="pandas", **remote_env())
     )
