@@ -165,3 +165,30 @@ def test_stratified_sample_properties(ray_session):
     out3 = stratified_sample(ds, "source", 0.5, key="key").to_pandas()
     for s in ("web", "code", "wiki"):
         assert abs(out3["source"].value_counts()[s] / base[s] - 0.5) < 0.06
+
+
+def test_doc_term_stats_matches_duckdb(docs):
+    import duckdb
+
+    from ulp_ray.stages.vocab import doc_term_stats
+
+    ds, t = docs
+    got = (
+        doc_term_stats(ds, "text", "doc_id")
+        .to_pandas()
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)[["doc_id", "token", "tf", "df"]]
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+'))"
+        " AS token FROM t), f AS (SELECT doc_id, token, COUNT(*) AS tf "
+        "FROM toks WHERE token <> '' GROUP BY doc_id, token), "
+        "d AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks "
+        "WHERE token <> '' GROUP BY token) "
+        "SELECT f.doc_id, f.token, CAST(f.tf AS BIGINT) AS tf, "
+        "CAST(d.df AS BIGINT) AS df FROM f JOIN d USING (token) "
+        "ORDER BY doc_id, token"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp)

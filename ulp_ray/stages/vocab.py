@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 
 from .._env import remote_env
 
-__all__ = ["vocabulary", "doc_frequency"]
+__all__ = ["vocabulary", "doc_frequency", "doc_term_stats"]
 
 
 def _flat_tokens(col) -> pa.Array:
@@ -118,3 +118,41 @@ def doc_frequency(ds, text_col: str = "text", min_count: int = 1):
     if min_count > 1:
         out = out.filter(expr=f"df >= {min_count}")
     return out
+
+
+def doc_term_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-(document, token) term frequency joined with corpus document
+    frequency: Dataset ``(doc_id, token, tf, df)`` — the integer core of
+    TF-IDF (the weighting ``tf·ln(N/df)`` is one cheap map over this;
+    keeping the contract integral keeps it exactly oracle-comparable).
+
+    Shapes: the TF side is one C-level Arrow ``group_by([doc, token])``
+    per block (exact, because one row = one document); the DF side is
+    the :func:`doc_frequency` fold; the two meet in a token-keyed
+    ``bucketed_hash_join`` — a real shuffle join, but over fixed-width
+    (id, token, count) rows, never raw text."""
+    from .join import bucketed_hash_join
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch[text_col])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        ids = batch[id_col].take(parents)
+        t = pa.table({id_col: ids, "token": flat})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        g = t.group_by([id_col, "token"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                id_col: g[id_col],
+                "token": g["token"],
+                "tf": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    tf = ds.map_batches(
+        tf_partial, batch_format="pyarrow", batch_size=None, **remote_env()
+    )
+    df = doc_frequency(ds, text_col=text_col)
+    return bucketed_hash_join(tf, df, on="token")
