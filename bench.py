@@ -142,6 +142,9 @@ def run_bench() -> dict:
         "interval_join_events",
         "pivot_event_counts",
         "quantile_value_per_type",
+        "rolling_sum_events",
+        "vocabulary_docs",
+        "doc_term_stats_docs",
     ):
         if name not in qs:
             continue
