@@ -192,3 +192,48 @@ def test_doc_term_stats_matches_duckdb(docs):
         "ORDER BY doc_id, token"
     ).df()
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_repetition_features_matches_duckdb(ray_session):
+    import duckdb
+
+    from ulp_ray.functions.text import repetition_features
+
+    texts = [
+        "a b a\nc d\na b a",
+        "x",
+        None,
+        "",
+        "t t t t",
+        "line\nline\nline",
+        "  spaced   out  ",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = repetition_features(t["text"]).add_column(0, "doc_id", t["doc_id"]).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", t)
+    exp = con.execute(
+        "WITH l AS (SELECT doc_id, text, "
+        "list_filter(string_split(text, chr(10)), x -> x <> '') AS ls, "
+        "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ts "
+        "FROM documents), "
+        "m AS (SELECT doc_id, token, COUNT(*) AS c FROM ("
+        "SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token "
+        "FROM documents) WHERE token <> '' GROUP BY doc_id, token) "
+        "SELECT l.doc_id, CAST(len(ls) AS BIGINT) AS n_lines, "
+        "CAST(len(list_distinct(ls)) AS BIGINT) AS n_distinct_lines, "
+        "CAST(len(ts) AS BIGINT) AS n_tokens, "
+        "CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct_tokens, "
+        "CASE WHEN l.text IS NULL THEN NULL ELSE "
+        "CAST(COALESCE(mm.mx, 0) AS BIGINT) END AS max_token_count "
+        "FROM l LEFT JOIN (SELECT doc_id, MAX(c) AS mx FROM m GROUP BY doc_id) mm "
+        "USING (doc_id) ORDER BY doc_id"
+    ).df()
+    import pandas as _pd
+
+    for c in exp.columns:
+        if c != "doc_id":
+            exp[c] = exp[c].astype("Int64")
+            got[c] = got[c].astype("Int64")
+    _pd.testing.assert_frame_equal(got, exp)

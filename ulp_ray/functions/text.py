@@ -24,6 +24,7 @@ __all__ = [
     "fingerprint_batch",
     "redact_pii",
     "PII_PATTERNS",
+    "repetition_features",
 ]
 
 # PII redaction patterns, applied IN ORDER (emails before IPs before
@@ -270,4 +271,63 @@ def fingerprint_batch(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
             count=len(arr),
         ),
         pa.uint64(),
+    )
+
+
+def repetition_features(arr: pa.Array | pa.ChunkedArray) -> pa.Table:
+    """Gopher/C4-style repetition statistics per document, as EXACT
+    integer columns (ratios like dup_line_frac = 1 − n_distinct_lines /
+    n_lines derive downstream; integers keep the SQL oracle comparison
+    float-free): ``n_lines, n_distinct_lines, n_tokens,
+    n_distinct_tokens, max_token_count``.
+
+    Fully vectorized: line/token split via Arrow kernels, per-document
+    distinct counts via one hash-factorize + np.unique over (row,
+    value-id) int pairs, per-document max token multiplicity via
+    ``np.maximum.at`` — no Python per document. Null text → all-null
+    row (SQL split(NULL) semantics)."""
+    import pandas as pd
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    null_mask = np.asarray(arr.is_null())
+
+    def per_row_counts(list_arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(total, distinct, max_multiplicity) per original row for a
+        list<string> column, ignoring empty-string elements."""
+        if isinstance(list_arr, pa.ChunkedArray):
+            list_arr = list_arr.combine_chunks()
+        flat = pc.list_flatten(list_arr)
+        parents = pc.list_parent_indices(list_arr).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        vals = flat.to_numpy(zero_copy_only=False)[keep]
+        par = parents[keep].astype(np.int64)
+        total = np.bincount(par, minlength=n)
+        vid, uniq = pd.factorize(vals)
+        n_vals = max(len(uniq), 1)
+        pair = par * np.int64(n_vals) + vid
+        uniq_pair, pair_counts = np.unique(pair, return_counts=True)
+        pair_parent = uniq_pair // n_vals
+        distinct = np.bincount(pair_parent, minlength=n)
+        mx = np.zeros(n, dtype=np.int64)
+        np.maximum.at(mx, pair_parent, pair_counts)
+        return total, distinct, mx
+
+    lines = pc.split_pattern(arr, "\n")
+    ln_total, ln_distinct, _ = per_row_counts(lines)
+    toks = pc.utf8_split_whitespace(arr)
+    tk_total, tk_distinct, tk_max = per_row_counts(toks)
+
+    def col(v: np.ndarray) -> pa.Array:
+        return pa.array(v.astype(np.int64), pa.int64(), mask=null_mask)
+
+    return pa.table(
+        {
+            "n_lines": col(ln_total),
+            "n_distinct_lines": col(ln_distinct),
+            "n_tokens": col(tk_total),
+            "n_distinct_tokens": col(tk_distinct),
+            "max_token_count": col(tk_max),
+        }
     )
