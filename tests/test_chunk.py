@@ -1,0 +1,101 @@
+"""Token chunking + sequence packing (training-prep operators)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    texts = []
+    for i in range(300):
+        n = int(rng.integers(0, 40))
+        texts.append(" ".join(f"w{rng.integers(0, 50)}" for _ in range(n)))
+    texts[7] = ""
+    texts[11] = None
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(3), t
+
+
+def test_chunk_documents_matches_duckdb(corpus):
+    import duckdb
+
+    from ulp_ray.stages.chunk import chunk_documents
+
+    ds, t = corpus
+    M, V = 16, 4
+    S = M - V
+    got = (
+        chunk_documents(ds, max_tokens=M, overlap=V)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    exp = con.execute(
+        f"WITH l AS (SELECT doc_id, list_filter(regexp_split_to_array(text,"
+        f" '\\s+'), x -> x <> '') AS ts FROM documents), "
+        f"c AS (SELECT doc_id, ts, len(ts) AS n, "
+        f"CASE WHEN len(ts) = 0 THEN NULL WHEN len(ts) <= {M} THEN 1 "
+        f"ELSE CAST(ceil(CAST(len(ts) - {M} AS DOUBLE) / {S}) + 1 AS BIGINT) "
+        f"END AS nc FROM l) "
+        f"SELECT doc_id, i AS chunk_idx, "
+        f"CAST(least(i*{S}+{M}, n) - i*{S} AS BIGINT) AS n_tokens, "
+        f"array_to_string(ts[i*{S}+1 : least(i*{S}+{M}, n)], ' ') AS text "
+        f"FROM c, UNNEST(generate_series(0, nc-1)) AS g(i) "
+        f"ORDER BY doc_id, chunk_idx"
+    ).df()
+    exp["chunk_idx"] = exp["chunk_idx"].astype("int64")
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_pack_sequences_invariants(corpus):
+    from ulp_ray.stages.chunk import pack_sequences
+
+    ds, t = corpus
+    M = 64
+    out = pack_sequences(ds, max_tokens=M).to_pandas()
+    df = t.to_pandas()
+    tok_count = (
+        df["text"].fillna("").str.split().apply(len).to_numpy()
+    )
+    # every doc appears exactly once across all sequences
+    all_ids = [i for ids in out["doc_ids"] for i in ids]
+    assert sorted(all_ids) == sorted(df["doc_id"].tolist())
+    # capacity: each sequence <= M tokens unless it is a single oversized doc
+    for _, row in out.iterrows():
+        assert row["n_tokens"] == sum(tok_count[i] for i in row["doc_ids"])
+        if row["n_docs"] > 1:
+            assert row["n_tokens"] <= M
+    # text round-trip: sequence token count matches its text
+    nt = out["text"].str.split().apply(len)
+    assert (nt.to_numpy() == out["n_tokens"].to_numpy()).all()
+    # deterministic
+    out2 = pack_sequences(ds, max_tokens=M).to_pandas()
+    assert sorted(out["seq_key"]) == sorted(out2["seq_key"])
+
+
+def test_pack_sequences_oversized_doc(ray_session):
+    import ray.data
+
+    from ulp_ray.stages.chunk import pack_sequences
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b", " ".join(["t"] * 100), "c d"], pa.string()),
+        }
+    )
+    out = pack_sequences(ray.data.from_arrow(t), max_tokens=10).to_pandas()
+    big = out[out["n_tokens"] == 100]
+    assert len(big) == 1 and big.iloc[0]["n_docs"] == 1
