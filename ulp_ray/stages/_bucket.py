@@ -35,11 +35,42 @@ _HASH_KEY = "ulp_ray_bucket16"  # pd.util.hash_array key (exactly 16 bytes)
 _FNV = np.uint64(1099511628211)
 _NULL_SENTINEL = "\x00\x00null"
 _NULL_HASH = np.uint64(0x9E3779B97F4A7C15)  # fixed hash for null (and NaN) keys
+_SEED = 0x5CA1AB1E  # polars hash seed (fixed: cross-process deterministic)
+
+import os as _os
+
+# one polars thread per Ray worker: the speedup is algorithmic (measured
+# ~18× on strings single-threaded, BASELINE.md), and N workers × a
+# full-size rayon pool each would oversubscribe the node. Must be set
+# BEFORE the first polars import in the process.
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
+try:  # measured (BASELINE.md): polars' Rust hash is ~18× pd.util on
+    import polars as _pl  # strings, ~10× on ints — this is the hot path of
+
+    _HAS_POLARS = True  # every bucketed co-group stage
+except ImportError:  # pragma: no cover - polars is baked into the env
+    _HAS_POLARS = False
 
 
 def hash_u64(values: np.ndarray) -> np.ndarray:
-    """Deterministic vectorized 64-bit hash of a 1-d numpy array."""
+    """Deterministic vectorized 64-bit hash of a 1-d numpy array.
+
+    Values are stable across processes and runs for a fixed polars
+    version (polars does not promise cross-VERSION stability — pin
+    polars if split/sample assignments must survive an upgrade; the
+    pandas fallback has the same caveat in practice)."""
+    if _HAS_POLARS:
+        return _pl.Series(values).hash(seed=_SEED).to_numpy()
     return pd.util.hash_array(values, hash_key=_HASH_KEY).astype(np.uint64)
+
+
+def _hash_arrow_strings(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Hash a null-free Arrow string column without the Arrow→numpy
+    object-array detour (zero-copy into polars when available)."""
+    if _HAS_POLARS:
+        return _pl.from_arrow(col).hash(seed=_SEED).to_numpy()
+    return hash_u64(col.to_numpy(zero_copy_only=False))
 
 
 def _int_hash(col: pa.Array) -> np.ndarray:
@@ -53,6 +84,8 @@ def _int_hash(col: pa.Array) -> np.ndarray:
     null_mask = np.asarray(col.is_null())
     vals = col.fill_null(0).to_numpy(zero_copy_only=False)
     h = hash_u64(vals.astype(np.int64, copy=False))
+    if not h.flags.writeable:
+        h = h.copy()
     h[null_mask] = _NULL_HASH
     return h
 
@@ -94,7 +127,7 @@ def key_hash_u64(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
             h[bad] = _NULL_HASH
         return h
     s = pc.fill_null(pc.cast(col, pa.string()), _NULL_SENTINEL)
-    return hash_u64(s.to_numpy(zero_copy_only=False))
+    return _hash_arrow_strings(s)
 
 
 def combine_hash(h: np.ndarray, hc: np.ndarray) -> np.ndarray:
