@@ -199,3 +199,43 @@ def test_pivot_counts_null_pivot_values_count_zero(ray_session):
     )
     # all-null group 2 gets 0, not null (SQL SUM(CASE...ELSE 0))
     assert out["x_n"].tolist() == [1, 0]
+
+
+def test_grouped_moments_exact(ray_session):
+    """Mergeable integer moments equal a single-pass pandas oracle and
+    derive the right mean/std."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ulp_ray.stages.aggregate import grouped_moments
+
+    rng = np.random.default_rng(17)
+    n = 20_000
+    t = pa.table(
+        {
+            "k": pa.array(np.array(["a", "b", "c"])[rng.integers(0, 3, n)]),
+            "v": pa.array(rng.random(n) * 100 - 50, pa.float64(),
+                          mask=rng.random(n) < 0.05),
+        }
+    )
+    got = (
+        grouped_moments(ray.data.from_arrow(t).repartition(4), ["k"], "v")
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    df = t.to_pandas()
+    cents = (df["v"] * 100).round()
+    exp = pd.DataFrame(
+        {
+            "n": df["v"].notna().groupby(df["k"]).sum().astype("int64"),
+            "sum_scaled": cents.groupby(df["k"]).sum().astype("int64"),
+            "sumsq_scaled": (cents * cents).groupby(df["k"]).sum().astype("int64"),
+        }
+    ).sort_index()
+    pd.testing.assert_frame_equal(got, exp, check_names=False)
+    # derived stats are sane
+    mean = got["sum_scaled"] / (100.0 * got["n"])
+    assert (mean.abs() < 5).all()

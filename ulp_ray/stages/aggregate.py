@@ -21,6 +21,7 @@ import json
 from typing import Sequence
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.schema_merge import (
     TypeNode,
@@ -37,6 +38,7 @@ __all__ = [
     "grouped_topk",
     "grouped_quantile",
     "pivot_counts",
+    "grouped_moments",
 ]
 
 
@@ -327,6 +329,63 @@ def grouped_quantile(
         ds.map_batches(add_bucket, batch_format="pyarrow", **remote_env())
         .groupby("__bucket")
         .map_groups(bucket_quantiles, batch_format="pandas", **remote_env())
+    )
+
+
+def grouped_moments(
+    ds,
+    keys: Sequence[str],
+    value_col: str,
+    scale: int = 100,
+):
+    """Mergeable first/second moments per group, as EXACT integers:
+    ``keys + [n, sum_scaled, sumsq_scaled]`` where values are first
+    scaled by ``scale`` and rounded to int64 (cents-style fixed point).
+    Mean/variance/stddev derive downstream as ``sum/(scale·n)`` and the
+    usual ``E[x²]−E[x]²`` — keeping the distributed fold integral makes
+    it associative AND float-free (a float sum's result depends on
+    reduction order; an int sum's doesn't), so the oracle comparison is
+    exact. Null values are skipped; n counts non-null rows (SQL
+    COUNT(col))."""
+    from .._env import remote_env
+
+    key_list = list(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = pc.cast(
+            # half-away ties like DuckDB/SQL ROUND (Arrow defaults to
+            # half-even; real doubles almost never tie, but pin it)
+            pc.round(
+                pc.multiply(batch[value_col], float(scale)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                **{k: batch[k] for k in key_list},
+                "sum_scaled": v,
+                "sumsq_scaled": pc.multiply(v, v),
+                "__nn": pc.cast(pc.is_valid(v), pa.int64()),
+            }
+        )
+        g = t.group_by(key_list).aggregate(
+            [("sum_scaled", "sum"), ("sumsq_scaled", "sum"), ("__nn", "sum")]
+        )
+        return pa.table(
+            {
+                **{k: g[k] for k in key_list},
+                "n": g["__nn_sum"],
+                "sum_scaled": g["sum_scaled_sum"],
+                "sumsq_scaled": g["sumsq_scaled_sum"],
+            }
+        )
+
+    return sum_rollup(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None, **remote_env()),
+        key_list,
+        ["n", "sum_scaled", "sumsq_scaled"],
+        count_col=None,
     )
 
 
