@@ -114,3 +114,50 @@ def test_curation_pair_set_never_touches_driver(ray_session, monkeypatch):
     monkeypatch.undo()
     assert sorted(r["doc_id"] for r in curated.take_all()) == [0, 4]
     assert report.near_dup_pairs >= 1
+
+
+def test_curation_contamination_and_repetition_stages(ray_session):
+    """probes= drops contaminated docs before analysis;
+    max_dup_line_frac= drops repetitive docs at the quality filter."""
+    import pyarrow as pa
+    import ray.data
+
+    base = _docs().to_pandas()
+    probe = "zzcontaminantzz"
+    extra = pa.table(
+        {
+            "doc_id": pa.array([990001, 990002], pa.int64()),
+            "text": pa.array(
+                [
+                    "clean text " + " ".join(f"w{i}" for i in range(30)),
+                    f"evil {probe} text " + " ".join(f"w{i}" for i in range(30)),
+                ]
+            ),
+        }
+    )
+    import pandas as pd
+
+    df = pd.concat([base[["doc_id", "text"]], extra.to_pandas()])
+    ds = ray.data.from_pandas(df).repartition(3)
+    curated, report, _ = curate_documents(
+        ds, min_quality=0.0, near_dup=False, probes=[probe]
+    )
+    ids = {r["doc_id"] for r in curated.select_columns(["doc_id"]).take_all()}
+    assert 990002 not in ids and 990001 in ids
+    assert report.rows_after_contamination == report.rows_in - 1
+
+    # repetition bound: a doc of 40 identical lines is dropped
+    rep_doc = pa.table(
+        {
+            "doc_id": pa.array([990003], pa.int64()),
+            "text": pa.array(["\n".join(["same line here"] * 40)]),
+        }
+    )
+    df2 = pd.concat([base[["doc_id", "text"]], rep_doc.to_pandas()])
+    ds2 = ray.data.from_pandas(df2).repartition(3)
+    curated2, report2, _ = curate_documents(
+        ds2, min_quality=0.0, near_dup=False, max_dup_line_frac=0.5
+    )
+    ids2 = {r["doc_id"] for r in curated2.select_columns(["doc_id"]).take_all()}
+    assert 990003 not in ids2
+    assert report2.rows_after_contamination is None

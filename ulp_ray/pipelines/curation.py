@@ -5,7 +5,9 @@ removal → curated Parquet + report.
     read_parquet(documents)
       → map_batches(analyze)          # lang-ID, quality features,
                                       # fingerprint (functions/text.py)
-      → filter(quality ≥ min_quality) # vectorized predicate
+      → [optional] drop_contaminated  # broadcast benchmark-probe screen
+      → filter(quality ≥ min_quality  # vectorized predicate; optional
+               [AND repetition bound])#   Gopher-style dup-line bound
       → exact_dedup(on=text)          # hash-partition + per-group first
                                       # (MUST precede minhash: identical
                                       # docs make LSH buckets quadratic)
@@ -38,6 +40,7 @@ __all__ = ["CurationReport", "curate_documents"]
 @dataclass
 class CurationReport:
     rows_in: int
+    rows_after_contamination: int | None
     rows_after_quality: int
     rows_after_exact_dedup: int
     near_dup_pairs: int
@@ -61,6 +64,8 @@ def curate_documents(
     splits: dict[str, float] | None = None,
     near_dup: bool = True,
     verify: str = "auto",
+    probes: list[str] | None = None,
+    max_dup_line_frac: float | None = None,
 ) -> tuple:
     """Run the curation pipeline over a documents dataset.
 
@@ -79,12 +84,26 @@ def curate_documents(
     SQL-expressible, which is what the ``curate_documents_sql`` oracle
     twin pins. ``verify`` is forwarded to :func:`minhash_dedup`.
 
+    ``probes`` switches on benchmark decontamination (drop any document
+    containing a probe substring — broadcast probe set, corpus streams);
+    ``max_dup_line_frac`` adds a Gopher-style repetition bound to the
+    quality filter (documents whose duplicate-line fraction
+    ``1 − n_distinct_lines/n_lines`` exceeds it are dropped; single-line
+    and empty documents pass).
+
     Scale note: near-dup losers are removed with a bucketed anti-join
     (``stages/join.py``) — the verified-pair set stays a Dataset end to
     end (it is O(corpus) on a heavily duplicated crawl), never a driver
     id set or a task-closure broadcast.
     """
     rows_in = ds.count()
+
+    rows_after_contamination = None
+    if probes:
+        from ..stages.contamination import drop_contaminated
+
+        ds = drop_contaminated(ds, probes, text_col=text_col).materialize()
+        rows_after_contamination = ds.count()
 
     def analyze(batch: pa.Table) -> pa.Table:
         q = quality_features(batch[text_col])
@@ -96,8 +115,24 @@ def curate_documents(
 
     analyzed = ds.map_batches(analyze, batch_format="pyarrow", **remote_env())
 
+    def quality_filter(t: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(t["quality_score"], min_quality)
+        if max_dup_line_frac is not None:
+            from ..functions.text import repetition_features
+
+            rep = repetition_features(t[text_col])
+            n_lines = rep["n_lines"]
+            dup_frac = pc.divide(
+                pc.cast(pc.subtract(n_lines, rep["n_distinct_lines"]), pa.float64()),
+                pc.cast(pc.max_element_wise(n_lines, 1), pa.float64()),
+            )
+            mask = pc.and_kleene(
+                mask, pc.fill_null(pc.less_equal(dup_frac, max_dup_line_frac), True)
+            )
+        return t.filter(pc.fill_null(mask, False))
+
     filtered = analyzed.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["quality_score"], min_quality)),
+        quality_filter,
         batch_format="pyarrow",
         **remote_env(),
     ).materialize()  # counted AND re-consumed below — don't re-run analyze
@@ -146,6 +181,7 @@ def curate_documents(
 
     report = CurationReport(
         rows_in=rows_in,
+        rows_after_contamination=rows_after_contamination,
         rows_after_quality=rows_after_quality,
         rows_after_exact_dedup=rows_after_exact,
         near_dup_pairs=n_pairs,
