@@ -237,3 +237,28 @@ def test_repetition_features_matches_duckdb(ray_session):
             exp[c] = exp[c].astype("Int64")
             got[c] = got[c].astype("Int64")
     _pd.testing.assert_frame_equal(got, exp)
+
+
+def test_grouped_vocabulary_matches_pandas(docs, ray_session):
+    import ray.data
+
+    from ulp_ray.stages.vocab import grouped_vocabulary
+
+    _, t = docs
+    df = t.to_pandas()
+    df["lang"] = ["en", "de", "en", "de", "en", "de", "en"]
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = (
+        grouped_vocabulary(ds, "text", "lang")
+        .to_pandas()
+        .sort_values(["lang", "token"])
+        .reset_index(drop=True)
+    )
+    import re
+
+    exp_rows = {}
+    for _, row in df.dropna(subset=["text"]).iterrows():
+        for tok in re.split(r"\s+", row["text"]):
+            if tok:
+                exp_rows[(row["lang"], tok)] = exp_rows.get((row["lang"], tok), 0) + 1
+    assert {(r["lang"], r["token"]): r["n"] for _, r in got.iterrows()} == exp_rows

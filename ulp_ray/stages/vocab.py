@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 
 from .._env import remote_env
 
-__all__ = ["vocabulary", "doc_frequency", "doc_term_stats"]
+__all__ = ["vocabulary", "grouped_vocabulary", "doc_frequency", "doc_term_stats"]
 
 
 def _flat_tokens(col) -> pa.Array:
@@ -64,6 +64,42 @@ def vocabulary(ds, text_col: str = "text", min_count: int = 1):
     if min_count > 1:
         out = out.filter(expr=f"n >= {min_count}")
     return out
+
+
+def grouped_vocabulary(ds, text_col: str = "text", group_col: str = "lang"):
+    """Term-frequency table per group (e.g. per language): Dataset
+    ``(group_col, token, n)`` — same partial-per-block + Sum shape as
+    :func:`vocabulary`, keyed by (group, token). Compose with
+    :func:`ulp_ray.stages.aggregate.grouped_topk` for per-group
+    most-frequent-token reports."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch[text_col])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        t = pa.table({group_col: batch[group_col].take(parents), "token": flat})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        g = t.group_by([group_col, "token"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                group_col: g[group_col],
+                "token": g["token"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    from .aggregate import sum_rollup
+
+    return sum_rollup(
+        ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=None, **remote_env()
+        ),
+        [group_col, "token"],
+        ["n"],
+        count_col=None,
+    )
 
 
 def doc_frequency(ds, text_col: str = "text", min_count: int = 1):
