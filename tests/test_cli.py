@@ -86,3 +86,33 @@ def test_cli_ingest_and_compact(tmp_path):
         pq.write_table(pa.table({"a": [i]}), route / f"p{i}.parquet")
     rep = json.loads(_cli("compact", "--out", str(run_dir), "--target-rows", "10"))
     assert rep == {os.path.join("sinks", "partition=0", "route=x"): 1}
+
+
+def test_cli_curate_subprocess(tmp_path):
+    """The curate subcommand runs the curation pipeline end-to-end in a
+    fresh process (own Ray session) and writes curated/ + report.json."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "curation"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "ulp_ray", "curate",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out),
+            "--min-quality", "0.2",
+            "--no-near-dup",
+            "--num-cpus", "4",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(r.stdout.strip().splitlines()[-1])
+    assert report["rows_in"] == 500
+    assert report["rows_out"] == report["rows_after_exact_dedup"]
+    assert (out / "report.json").exists()
+    assert any((out / "curated").iterdir())

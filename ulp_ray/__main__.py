@@ -88,6 +88,31 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("compact", help="merge a finished run's small sink files")
     sp.add_argument("--out", required=True)
     sp.add_argument("--target-rows", type=int, default=1_000_000)
+    sp = sub.add_parser(
+        "curate", help="corpus curation: analyze→filter→dedup→near-dup→splits"
+    )
+    sp.add_argument("--input", required=True, help="documents parquet dir/glob")
+    sp.add_argument("--out", required=True, help="curation output directory")
+    sp.add_argument("--min-quality", type=float, default=0.3)
+    sp.add_argument("--jaccard-threshold", type=float, default=0.8)
+    sp.add_argument("--no-near-dup", action="store_true")
+    sp.add_argument(
+        "--max-dup-line-frac",
+        type=float,
+        default=None,
+        help="drop docs whose duplicate-line fraction exceeds this",
+    )
+    sp.add_argument(
+        "--probes-file",
+        default=None,
+        help="newline-delimited benchmark probe strings (decontamination)",
+    )
+    sp.add_argument(
+        "--splits",
+        default=None,
+        help='JSON fractions, e.g. \'{"train": 0.95, "val": 0.05}\'',
+    )
+    sp.add_argument("--num-cpus", type=int, default=None)
 
     args = p.parse_args(argv)
 
@@ -95,6 +120,35 @@ def main(argv: list[str] | None = None) -> int:
         from ulp_ray.stages.compact import compact_run
 
         print(json.dumps(compact_run(args.out, target_rows=args.target_rows)))
+        return 0
+
+    if args.cmd == "curate":
+        _init_ray(args.num_cpus)
+        import ray
+        import ray.data
+
+        from ulp_ray.pipelines.curation import curate_documents
+
+        probes = None
+        if args.probes_file:
+            with open(args.probes_file) as f:
+                probes = [line.rstrip("\n") for line in f if line.strip()]
+        splits = json.loads(args.splits) if args.splits else None
+        ds = ray.data.read_parquet(args.input)
+        _, report, _ = curate_documents(
+            ds,
+            out_dir=args.out,
+            min_quality=args.min_quality,
+            jaccard_threshold=args.jaccard_threshold,
+            near_dup=not args.no_near_dup,
+            probes=probes,
+            max_dup_line_frac=args.max_dup_line_frac,
+            splits=splits,
+        )
+        from dataclasses import asdict
+
+        print(json.dumps(asdict(report)))
+        ray.shutdown()
         return 0
 
     if args.cmd == "ingest":
