@@ -239,3 +239,39 @@ def test_grouped_moments_exact(ray_session):
     # derived stats are sane
     mean = got["sum_scaled"] / (100.0 * got["n"])
     assert (mean.abs() < 5).all()
+
+
+def test_grouped_collect_distinct_sorted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ulp_ray.stages.aggregate import grouped_collect
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "a", "b", "b", "c"]),
+            "v": pa.array(["z", "m", "z", None, "q", None]),
+        }
+    )
+    out = (
+        grouped_collect(ray.data.from_arrow(t).repartition(2), ["k"], "v")
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    # nulls skipped; distinct + sorted; all-null group absent (SQL
+    # list() over no rows)
+    assert out.loc["a", "values_joined"] == "m|z"
+    assert list(out.loc["a", "values"]) == ["m", "z"]
+    assert out.loc["b", "values_joined"] == "q"
+    assert "c" not in out.index
+    # non-distinct keeps multiplicity
+    out2 = (
+        grouped_collect(
+            ray.data.from_arrow(t).repartition(2), ["k"], "v", distinct=False
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    assert out2.loc["a", "values_joined"] == "m|z|z"

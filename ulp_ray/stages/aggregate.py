@@ -39,6 +39,7 @@ __all__ = [
     "grouped_quantile",
     "pivot_counts",
     "grouped_moments",
+    "grouped_collect",
 ]
 
 
@@ -386,6 +387,93 @@ def grouped_moments(
         key_list,
         ["n", "sum_scaled", "sumsq_scaled"],
         count_col=None,
+    )
+
+
+def grouped_collect(
+    ds,
+    keys: Sequence[str],
+    value_col: str,
+    distinct: bool = True,
+    sep: str = "|",
+    buckets: int = 64,
+):
+    """Per-group collected values as a SORTED list column plus a joined
+    string — the SQL ``list_sort(list(DISTINCT x))`` /
+    ``string_agg(... ORDER BY ...)`` shape. Output: ``keys + [values:
+    list<string>, values_joined: string]``; null values are skipped
+    (SQL aggregate semantics), and sorting pins a deterministic,
+    oracle-comparable order.
+
+    Bucketed co-group like the other grouped ops: one Arrow multi-key
+    sort per bucket, run-boundary offsets → ``ListArray`` slices +
+    one vectorized ``binary_join`` — no Python per group. A single
+    giant group still concentrates its bucket (same caveat as
+    ``grouped_quantile``)."""
+    import numpy as np
+
+    from .._env import remote_env
+    from ._bucket import with_bucket
+
+    key_list = list(keys)
+
+    def collect(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        out_schema = pa.schema(
+            [(k, g.schema.field(k).type) for k in key_list]
+            + [
+                ("values", pa.list_(pa.string())),
+                ("values_joined", pa.string()),
+            ]
+        )
+        g = g.filter(pc.is_valid(g[value_col]))
+        if len(g) == 0:
+            return out_schema.empty_table()
+        vals = pc.cast(g[value_col], pa.string())
+        g = g.set_column(
+            g.column_names.index(value_col), value_col, vals
+        )
+        order = pc.sort_indices(
+            g, sort_keys=[(c, "ascending") for c in key_list + [value_col]]
+        )
+        g = g.take(order)
+        n = len(g)
+        key_np = [
+            g[k].to_numpy(zero_copy_only=False) for k in key_list
+        ]
+        key_change = np.zeros(n, dtype=bool)
+        key_change[0] = True
+        for arr in key_np:
+            key_change[1:] |= arr[1:] != arr[:-1]
+        if distinct:
+            v_np = g[value_col].to_numpy(zero_copy_only=False)
+            keep = key_change.copy()
+            keep[1:] |= v_np[1:] != v_np[:-1]
+            idx = np.flatnonzero(keep)
+            g = g.take(pa.array(idx, pa.int64()))
+            key_change = key_change[idx]
+            n = len(g)
+        starts = np.flatnonzero(key_change)
+        bounds = np.concatenate([starts, [n]]).astype(np.int64)
+        values_col = g[value_col].combine_chunks()
+        lists = pa.ListArray.from_arrays(
+            pa.array(bounds, pa.int32()), values_col
+        )
+        joined = pc.cast(pc.binary_join(lists, sep), pa.string())
+        firsts = pa.array(starts, pa.int64())
+        return pa.table(
+            {
+                **{k: g[k].take(firsts) for k in key_list},
+                "values": lists,
+                "values_joined": joined,
+            },
+            schema=out_schema,
+        )
+
+    return (
+        with_bucket(ds, key_list, buckets)
+        .groupby("__bucket")
+        .map_groups(collect, batch_format="pyarrow", **remote_env())
     )
 
 
