@@ -84,8 +84,34 @@ def test_image_decoder_stub_plumbing(ray_session):
 def test_audio_featurizer_stub():
     t = make_synthetic_media_table(4)
     out = AudioFeaturizer()(t)
-    assert out.column_names == ["media_id", "duration_ms", "rms"]
+    assert out.column_names == ["media_id", "duration_ms", "rms", "zero_crossings"]
     assert all(d >= 0 for d in out["duration_ms"].to_pylist())
+
+
+def test_audio_featurizer_real_wav_roundtrip():
+    """A genuine RIFF/WAVE payload decodes through the stdlib wave
+    parser: header sample rate drives duration, RMS matches the known
+    signal."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ulp_ray.stages.multimodal import encode_wav
+
+    t_ax = np.arange(8000)
+    pcm = (np.sin(2 * np.pi * 440 * t_ax / 8000) * 10000).astype(np.int16)
+    wav = encode_wav(pcm, sample_rate=8000)  # 1 second at 8 kHz
+    batch = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([wav], pa.binary()),
+        }
+    )
+    out = AudioFeaturizer(sample_rate=16_000)(batch)  # fallback rate ignored
+    assert out["duration_ms"][0].as_py() == 1000
+    expected_rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+    assert abs(out["rms"][0].as_py() - expected_rms) < 0.01
+    # a 440 Hz tone crosses zero ~880 times per second
+    assert 850 <= out["zero_crossings"][0].as_py() <= 910
 
 
 def test_frame_sample_explodes():
