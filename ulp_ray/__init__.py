@@ -21,9 +21,13 @@ Layout
   Arrow), enrich (broadcast-taxonomy actor pool), route fan-out,
   salted/partial aggregation (+ grouped top-k / quantile / pivot),
   dedup family, similarity search + k-means, as-of and interval joins,
-  windows, deterministic splits/sampling, sketches, multimodal
-  plumbing, sink compaction — per-key co-grouping always goes through
-  ``_bucket.py`` hash buckets, never one Python callback per key.
+  windows (tumbling/sliding/session/running/rolling + ranking),
+  deterministic splits/sampling (incl. stratified), sketches,
+  vocabulary/doc-frequency/TF-IDF folds, benchmark decontamination,
+  token chunking + sequence packing, multimodal codecs (real PPM/PNG/
+  WAV), sink compaction — per-key co-grouping always goes through
+  ``_bucket.py`` hash buckets (polars-hashed), never one Python
+  callback per key.
 - ``pipelines/`` — end-to-end flagship pipeline with per-partition
   lineage manifests and resume-from-checkpoint; two-phase NDJSON
   ingest (ulp-artifact interop); corpus curation.
