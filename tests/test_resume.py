@@ -81,9 +81,11 @@ def test_manifest_records_lineage(ray_session, data_dir, tmp_path_factory):
     assert m["registry_version"] == default_transcript_registry().version
 
 
-def test_resume_recomputes_on_input_change(ray_session, tmp_path_factory):
-    """New input files invalidate affected checkpoints (fragment-set
-    comparison) instead of being silently skipped."""
+def test_resume_appends_without_recompute(ray_session, tmp_path_factory):
+    """Append-aware resume: new input files land in NEW partitions; the
+    completed partitions' checkpoints are honored verbatim, the rollup
+    covers old + new rows exactly once, and nothing is silently
+    dropped."""
     d = str(tmp_path_factory.mktemp("grow"))
     write_transcripts(d, 2_000, n_files=4)
     out = str(tmp_path_factory.mktemp("run"))
@@ -96,8 +98,34 @@ def test_resume_recomputes_on_input_change(ray_session, tmp_path_factory):
     for i, f in enumerate(sorted(glob.glob(d + "_extra/*.parquet"))):
         sh.copy(f, os.path.join(d, f"part-newer-{i:05d}.parquet"))
     res2 = run_pipeline(d, out, partitions=2)
-    assert res2.partitions_skipped == 0  # groups changed → recompute
-    assert res2.rows_routed == 3_000
+    assert res2.partitions_skipped == 2   # the finished partitions stand
+    assert res2.partitions_run == 1       # only the new files ran (one
+    # new partition: 2 new files at the run's 2-files-per-partition grain)
+    assert res2.rows_routed == 3_000      # exactly once: old + new
+    # a third run with no further input change is a full no-op
+    res3 = run_pipeline(d, out, partitions=2)
+    assert res3.partitions_run == 0 and res3.rows_routed == 3_000
+    # and the rollup equals a fresh non-resumed run over everything
+    fresh_out = str(tmp_path_factory.mktemp("fresh"))
+    fresh = run_pipeline(d, fresh_out, partitions=4, resume=False)
+    a = res3.counts.sort_by([("rule", "ascending"), ("tool", "ascending"), ("role", "ascending")])
+    b = fresh.counts.sort_by([("rule", "ascending"), ("tool", "ascending"), ("role", "ascending")])
+    assert a.equals(b)
+
+
+def test_resume_recomputes_on_removed_input(ray_session, tmp_path_factory):
+    """Removing an input file invalidates the checkpoint that covered it
+    (fragment subset check) — remaining partitions still skip."""
+    d = str(tmp_path_factory.mktemp("shrink"))
+    write_transcripts(d, 2_000, n_files=4)
+    out = str(tmp_path_factory.mktemp("run"))
+    run_pipeline(d, out, partitions=4)  # 1 file per partition
+    victims = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    os.remove(victims[0])
+    res = run_pipeline(d, out, partitions=4)
+    assert res.partitions_run == 0        # nothing new to compute
+    assert res.partitions_skipped == 3    # the invalidated one is gone
+    assert res.rows_routed == 1_500       # rollup excludes the removed file
 
 
 def test_repartitioned_rerun_prunes_stale_partials(ray_session, tmp_path_factory):

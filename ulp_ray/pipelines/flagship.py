@@ -142,13 +142,7 @@ def run_pipeline(
 
     registry = registry or default_transcript_registry()
     files = _expand_inputs(inputs)
-    partitions = max(1, min(partitions, len(files)))
-    groups: list[list[str]] = [files[i::partitions] for i in range(partitions)]
 
-    completed = load_completed(out_dir) if resume else {}
-    # a checkpoint is only valid if the registry AND the partition's input
-    # fragment set are unchanged (adding files / changing `partitions`
-    # regroups the inputs — affected partitions must recompute)
     def _outputs_exist(i: int, m) -> bool:
         # a manifest is only trustworthy if the durable outputs it
         # describes still exist (partials feed the final rollup; a
@@ -164,16 +158,55 @@ def run_pipeline(
         )
         return partial_ok and schema_ok and sink_ok
 
-    completed = {
+    # a checkpoint is valid if the registry/text_col are unchanged, its
+    # durable outputs exist, and its input fragment set is still a
+    # subset of the current inputs. Append-aware resume: valid
+    # partitions keep their EXACT file groups (indices preserved), and
+    # only uncovered files stripe into fresh partition indices — so
+    # appending new input files to a finished run recomputes nothing
+    # (the incremental-ingest shape a standing 100 TB pipeline needs;
+    # the reference instead duplicates docs on re-ingest,
+    # src/elastic.rs:108).
+    completed_raw = load_completed(out_dir) if resume else {}
+    file_set = set(files)
+    valid = {
         i: m
-        for i, m in completed.items()
+        for i, m in completed_raw.items()
         if m.registry_version == registry.version
         and m.text_col == text_col
-        and i < partitions
-        and sorted(m.input_fragments) == sorted(groups[i])
+        and set(m.input_fragments) <= file_set
         and _outputs_exist(i, m)
     }
-    _prune_stale_outputs(out_dir, partitions)
+    # disjointness guard: no file may be claimed by two manifests (a
+    # crashed run that changed `partitions` mid-way could overlap) —
+    # keep the lowest-index claimant, recompute the rest
+    claimed: set[str] = set()
+    completed: dict[int, PartitionManifest] = {}
+    for i in sorted(valid):
+        frags = set(valid[i].input_fragments)
+        if frags & claimed:
+            continue
+        claimed |= frags
+        completed[i] = valid[i]
+    new_files = [f for f in files if f not in claimed]
+    groups: dict[int, list[str]]
+    if completed:
+        groups = {i: list(m.input_fragments) for i, m in completed.items()}
+        if new_files:
+            # size new partitions to the run's existing granularity
+            # (files per completed partition), capped by `partitions`
+            # per increment — appended files get the same checkpoint
+            # grain as the original run
+            sizes = [len(g) for g in groups.values()]
+            target = max(1, round(sum(sizes) / len(sizes)))
+            n_new = max(1, min(partitions, -(-len(new_files) // target)))
+            next_i = max(completed) + 1
+            for j in range(n_new):
+                groups[next_i + j] = new_files[j::n_new]
+    else:
+        n = max(1, min(partitions, len(files)))
+        groups = {i: files[i::n] for i in range(n)}
+    _prune_stale_outputs(out_dir, set(groups))
 
     taxonomy_ref = put_taxonomy(taxonomy)
     parse_fn = make_parse_fn(registry, text_col=text_col)
@@ -184,7 +217,7 @@ def run_pipeline(
 
     manifests: list[PartitionManifest] = []
     ran = 0
-    for pi, group in enumerate(groups):
+    for pi, group in sorted(groups.items()):
         if pi in completed:
             manifests.append(completed[pi])
             continue
@@ -322,7 +355,7 @@ def run_pipeline(
     RunManifest(
         run_id=os.path.basename(out_dir.rstrip("/")) or uuid.uuid4().hex[:8],
         registry_version=registry.version,
-        n_partitions=partitions,
+        n_partitions=len(groups),
         completed=len(manifests),
         rows_in=rows_in_total,
         rows_routed=rows_routed_total,
@@ -403,10 +436,10 @@ _COUNTS_SCHEMA = pa.schema(
 )
 
 
-def _prune_stale_outputs(out_dir: str, partitions: int) -> None:
-    """Remove partials/sinks/manifests whose partition index no longer
-    exists under the current partitioning — a previous run with more
-    partitions would otherwise leak stale partials into the final rollup
+def _prune_stale_outputs(out_dir: str, keep: set[int]) -> None:
+    """Remove partials/sinks/manifests whose partition index is not in
+    the current plan — a previous run with a different partitioning
+    would otherwise leak stale partials into the final rollup
     (double-counting)."""
     import re as _re
 
@@ -421,7 +454,7 @@ def _prune_stale_outputs(out_dir: str, partitions: int) -> None:
             continue
         for name in os.listdir(d):
             m = _re.match(pat, name)
-            if m and int(m.group(1)) >= partitions:
+            if m and int(m.group(1)) not in keep:
                 path = os.path.join(d, name)
                 shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
 
