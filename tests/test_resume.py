@@ -262,3 +262,22 @@ def test_hash_inputs_false_skips_lineage_hashes(ray_session, tmp_path_factory):
     from ulp_ray.state.audit import audit_run
 
     assert audit_run(out)["ok"]  # empty dict → hash step skipped
+
+
+def test_audit_reconciles_appended_run(ray_session, tmp_path_factory):
+    """audit_run still reconciles after an append (non-contiguous
+    growth of the partition index set)."""
+    from ulp_ray.state.audit import audit_run
+
+    d = str(tmp_path_factory.mktemp("aud_grow"))
+    write_transcripts(d, 2_000, n_files=4)
+    out = str(tmp_path_factory.mktemp("aud_run"))
+    run_pipeline(d, out, partitions=2)
+    write_transcripts(d + "_x", 1_000, n_files=2, seed=9)
+    import shutil as sh
+
+    for i, f in enumerate(sorted(glob.glob(d + "_x/*.parquet"))):
+        sh.copy(f, os.path.join(d, f"part-app-{i:05d}.parquet"))
+    run_pipeline(d, out, partitions=2)
+    report = audit_run(out, strict=True)
+    assert report["ok"], report
