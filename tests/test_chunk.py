@@ -99,3 +99,28 @@ def test_pack_sequences_oversized_doc(ray_session):
     out = pack_sequences(ray.data.from_arrow(t), max_tokens=10).to_pandas()
     big = out[out["n_tokens"] == 100]
     assert len(big) == 1 and big.iloc[0]["n_docs"] == 1
+
+
+def test_explode_list_positions(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from ulp_ray.stages.chunk import explode_list
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "xs": pa.array([["a", "b"], [], None, ["c"]], pa.list_(pa.string())),
+        }
+    )
+    out = (
+        explode_list(ray.data.from_arrow(t).repartition(2), "xs", ["id"])
+        .to_pandas()
+        .sort_values(["id", "pos"])
+        .reset_index(drop=True)
+    )
+    assert out.to_dict("list") == {
+        "id": [1, 1, 4],
+        "pos": [0, 1, 0],
+        "xs": ["a", "b", "c"],
+    }

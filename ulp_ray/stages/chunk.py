@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 
 from .._env import remote_env
 
-__all__ = ["chunk_documents", "pack_sequences"]
+__all__ = ["chunk_documents", "pack_sequences", "explode_list"]
 
 
 def _filtered_token_lists(col) -> tuple[pa.Array, np.ndarray]:
@@ -194,3 +194,35 @@ def pack_sequences(
         )
 
     return ds.map_batches(pack, batch_format="pyarrow", **remote_env())
+
+
+def explode_list(ds, list_col: str, id_cols: list[str], pos_col: str = "pos"):
+    """Generic UNNEST WITH ORDINALITY: one output row per list element,
+    carrying ``id_cols`` + 0-based ``pos_col`` + the element as
+    ``list_col``. Vectorized: ``list_flatten`` + ``list_parent_indices``
+    + one arange-minus-offsets pass — no Python per row. Null/empty
+    lists yield no rows (SQL UNNEST)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch[list_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col)
+        parents = pc.list_parent_indices(col)
+        par_np = parents.to_numpy(zero_copy_only=False)
+        # position within the list: global arange minus each list's base
+        n_out = len(flat)
+        starts = np.flatnonzero(
+            np.concatenate([[True], par_np[1:] != par_np[:-1]])
+        ) if n_out else np.array([], np.int64)
+        base = np.zeros(n_out, dtype=np.int64)
+        if n_out:
+            base[starts] = np.arange(n_out, dtype=np.int64)[starts]
+            base = np.maximum.accumulate(base)
+        pos = np.arange(n_out, dtype=np.int64) - base
+        cols = {c: batch[c].take(parents) for c in id_cols}
+        cols[pos_col] = pa.array(pos, pa.int64())
+        cols[list_col] = flat
+        return pa.table(cols)
+
+    return ds.map_batches(explode, batch_format="pyarrow", **remote_env())
