@@ -274,3 +274,55 @@ def test_grok_nested_custom_patterns_expand_recursively():
 
     with _pytest.raises(ValueError, match="cycle"):
         expand_grok("%{A:x}", extra_patterns={"A": "%{B}", "B": "%{A}"})
+
+
+def test_grok_common_access_log(ray_session):
+    """A Common-Log-Format rule built purely from the grok vocabulary
+    parses real access-log lines with typed captures, and the typed
+    output matches a DuckDB regexp_extract oracle over the same lines."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from ulp_ray.rules import RuleRegistry, grok_rule
+    from ulp_ray.stages.parse import make_parse_fn
+
+    rule = grok_rule(
+        "clf",
+        r'%{IPV4:client} - %{USER:ident} \[%{HTTPDATE:when:str}\] '
+        r'"%{HTTPMETHOD:method} %{URIPATH:path}(?:%{QS})? %{HTTPVERSION}" '
+        r"%{POSINT:status} %{POSINT:nbytes}",
+    )
+    reg = RuleRegistry([rule])
+    lines = [
+        '10.0.0.1 - alice [17/Aug/2026:09:00:00 +0000] "GET /index.html HTTP/1.1" 200 5213',
+        '192.168.7.9 - - [17/Aug/2026:09:00:01 +0000] "POST /api/v1/items?x=1 HTTP/1.1" 201 77',
+        "not a log line at all",
+        '8.8.8.8 - bob [17/Aug/2026:09:00:02 +0000] "DELETE /thing HTTP/2" 204 0',
+    ]
+    t = pa.table({"text": pa.array(lines), "line_id": pa.array(range(len(lines)), pa.int64())})
+    ds = ray.data.from_arrow(t)
+    out = (
+        ds.map_batches(make_parse_fn(reg), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("line_id")
+        .reset_index(drop=True)
+    )
+    matched = out[out["rule"] == "clf"]
+    assert len(matched) == 3
+    assert matched["client"].tolist() == ["10.0.0.1", "192.168.7.9", "8.8.8.8"]
+    assert matched["status"].tolist() == [200, 201, 204]
+    # (int64 in Arrow; pandas promotes the null-carrying column to float)
+    assert matched["nbytes"].tolist() == [5213, 77, 0]
+    assert out[out["line_id"] == 2]["rule"].iloc[0] == "_unmatched"
+    # oracle: the same typed extraction via DuckDB RE2
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        "SELECT line_id, regexp_extract(text, '^((?:\\d{1,3}\\.){3}\\d{1,3}) ', 1)"
+        " AS client, CAST(regexp_extract(text, '\" (\\d+) (\\d+)$', 1) AS BIGINT)"
+        " AS status FROM t WHERE regexp_matches(text, '^(?:\\d{1,3}\\.){3}\\d{1,3} ')"
+        " ORDER BY line_id"
+    ).df()
+    assert matched["client"].tolist() == exp["client"].tolist()
+    assert matched["status"].tolist() == exp["status"].tolist()

@@ -213,6 +213,14 @@ GROK_PATTERNS: dict[str, str] = {
     ),
     "LOGLEVEL": r"TRACE|DEBUG|INFO|WARN(?:ING)?|ERROR|FATAL|CRITICAL",
     "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
+    # access-log building blocks (public grok vocabulary)
+    "USER": r"[a-zA-Z0-9._-]+",
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "HTTPMETHOD": r"GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH|TRACE|CONNECT",
+    "URIPATH": r"/[^\s?#]*",
+    "QS": r"\?[^\s#]*",
+    "HTTPVERSION": r"HTTP/\d(?:\.\d)?",
+    "QUOTEDSTRING": r"\"[^\"]*\"",
 }
 
 # alias → default capture type (overridable with %{ALIAS:name:type})
