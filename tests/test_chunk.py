@@ -124,3 +124,42 @@ def test_explode_list_positions(ray_session):
         "pos": [0, 1, 0],
         "xs": ["a", "b", "c"],
     }
+
+
+def test_chunk_documents_boundaries(ray_session):
+    """Exact-boundary token counts and zero overlap: coverage and chunk
+    membership follow the window formula exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from ulp_ray.stages.chunk import chunk_documents
+
+    M = 8
+    docs = {
+        0: 7,    # < M  -> 1 chunk
+        1: 8,    # == M -> 1 chunk
+        2: 9,    # M+1, step 8 (overlap 0) -> 2 chunks (8, 1)
+        3: 16,   # 2 exact chunks
+        4: 17,   # 3 chunks (8, 8, 1)
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(
+                [" ".join(f"d{k}t{i}" for i in range(n)) for k, n in docs.items()]
+            ),
+        }
+    )
+    out = (
+        chunk_documents(
+            ray.data.from_arrow(t), max_tokens=M, overlap=0
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+    )
+    got = out.groupby("doc_id")["n_tokens"].apply(list).to_dict()
+    assert got == {0: [7], 1: [8], 2: [8, 1], 3: [8, 8], 4: [8, 8, 1]}
+    # zero-overlap chunks reconstruct the document exactly
+    for k, n in docs.items():
+        joined = " ".join(out[out["doc_id"] == k]["text"])
+        assert joined == " ".join(f"d{k}t{i}" for i in range(n))
