@@ -161,3 +161,57 @@ def test_curation_contamination_and_repetition_stages(ray_session):
     ids2 = {r["doc_id"] for r in curated2.select_columns(["doc_id"]).take_all()}
     assert 990003 not in ids2
     assert report2.rows_after_contamination is None
+
+
+def test_curation_stage_checkpointing(ray_session, tmp_path):
+    """checkpoint_dir: a re-run with identical parameters resumes every
+    stage; an invalidated later stage recomputes alone; changed params
+    recompute everything."""
+    import ray.data
+
+    ds = ray.data.from_arrow(_docs()).repartition(2)
+    ck = str(tmp_path / "ck")
+    c1, r1, _ = curate_documents(ds, min_quality=0.2, checkpoint_dir=ck)
+    assert r1.stages_resumed == []
+    rows1 = sorted(x["doc_id"] for x in c1.select_columns(["doc_id"]).take_all())
+
+    c2, r2, _ = curate_documents(ds, min_quality=0.2, checkpoint_dir=ck)
+    assert set(r2.stages_resumed) == {"02_filtered", "03_deduped", "04_neardup_pairs"}
+    rows2 = sorted(x["doc_id"] for x in c2.select_columns(["doc_id"]).take_all())
+    assert rows1 == rows2
+    assert r2.rows_out == r1.rows_out and r2.near_dup_pairs == r1.near_dup_pairs
+
+    # invalidate the last stage only → earlier stages still resume
+    os.remove(os.path.join(ck, "04_neardup_pairs", "_done.json"))
+    _, r3, _ = curate_documents(ds, min_quality=0.2, checkpoint_dir=ck)
+    assert set(r3.stages_resumed) == {"02_filtered", "03_deduped"}
+    assert r3.rows_out == r1.rows_out
+
+    # parameter change → fingerprint mismatch → full recompute
+    _, r4, _ = curate_documents(ds, min_quality=0.1, checkpoint_dir=ck)
+    assert r4.stages_resumed == []
+
+
+def test_curation_checkpoint_zero_pair_stage(ray_session, tmp_path):
+    """A zero-row pairs stage checkpoints and resumes (empty-file pin)."""
+    import pyarrow as pa
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(
+                [
+                    "a long unique document about one topic " * 3,
+                    "an entirely different text on another subject " * 3,
+                ]
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    ck = str(tmp_path / "ck0")
+    _, r1, _ = curate_documents(ds, min_quality=0.0, checkpoint_dir=ck)
+    assert r1.near_dup_pairs == 0
+    _, r2, _ = curate_documents(ds, min_quality=0.0, checkpoint_dir=ck)
+    assert "04_neardup_pairs" in r2.stages_resumed
+    assert r2.rows_out == 2

@@ -112,6 +112,12 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help='JSON fractions, e.g. \'{"train": 0.95, "val": 0.05}\'',
     )
+    sp.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="stage-level checkpoint dir: a re-run with identical "
+        "parameters resumes from the last completed stage",
+    )
     sp.add_argument("--num-cpus", type=int, default=None)
 
     args = p.parse_args(argv)
@@ -144,6 +150,7 @@ def main(argv: list[str] | None = None) -> int:
             probes=probes,
             max_dup_line_frac=args.max_dup_line_frac,
             splits=splits,
+            checkpoint_dir=args.checkpoint_dir,
         )
         from dataclasses import asdict
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from dataclasses import asdict, dataclass
 
 import pyarrow as pa
@@ -35,6 +36,75 @@ from ..functions.text import fingerprint_batch, lang_id_batch, quality_features
 from ..stages.dedup import exact_dedup, minhash_dedup
 
 __all__ = ["CurationReport", "curate_documents"]
+
+
+class _StageCkpt:
+    """Stage-level checkpointing for long curation runs: each stage's
+    output is written to ``<root>/<stage>/`` with an atomic
+    ``_done.json`` carrying the run's parameter fingerprint and the
+    stage row count; a re-run whose fingerprint matches reads the
+    Parquet back instead of recomputing. Any parameter (or input-size)
+    change invalidates every stage — curation stages are corpus-wide
+    transforms, so stage grain is the natural resume unit (the
+    flagship's partition-grain checkpointing covers the parse path).
+    ``_``-prefixed files are ignored by the Parquet dataset reader, so
+    the marker can live inside the stage dir (atomic rename puts it
+    there only after the data is durable)."""
+
+    def __init__(self, root: str, fingerprint: dict) -> None:
+        self.root = root
+        self.fp = fingerprint
+        self.resumed: list[str] = []
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def load(self, stage: str):
+        done = os.path.join(self._dir(stage), "_done.json")
+        if not os.path.isfile(done):
+            return None
+        try:
+            with open(done) as f:
+                meta = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+        if meta.get("fingerprint") != self.fp:
+            return None
+        import ray.data
+
+        self.resumed.append(stage)
+        return ray.data.read_parquet(self._dir(stage)), int(meta["rows"])
+
+    def save(self, stage: str, ds):
+        import pyarrow.parquet as _pq
+
+        from .._env import remote_env as _re
+
+        out = ds.materialize()  # current run consumes the object-store
+        rows = out.count()      # copy; the dir below serves future resumes
+        d = self._dir(stage)
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        if rows > 0:
+            out.write_parquet(d, ray_remote_args=_re())
+        else:
+            # a zero-row stage writes no files — pin one empty file with
+            # the schema so a resume can re-read without recomputing
+            schema = out.schema()
+            arrow_schema = getattr(schema, "base_schema", None)
+            if arrow_schema is None:
+                arrow_schema = pa.schema([])
+            _pq.write_table(
+                arrow_schema.empty_table(), os.path.join(d, "part-empty.parquet")
+            )
+        tmp = os.path.join(d, "_done.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"fingerprint": self.fp, "rows": rows}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(d, "_done.json"))
+        return out, rows
 
 
 @dataclass
@@ -48,6 +118,7 @@ class CurationReport:
     min_quality: float
     jaccard_threshold: float
     split_rows: dict | None = None
+    stages_resumed: list | None = None
 
     def write(self, out_dir: str) -> None:
         with open(os.path.join(out_dir, "report.json"), "w") as f:
@@ -66,6 +137,7 @@ def curate_documents(
     verify: str = "auto",
     probes: list[str] | None = None,
     max_dup_line_frac: float | None = None,
+    checkpoint_dir: str | None = None,
 ) -> tuple:
     """Run the curation pipeline over a documents dataset.
 
@@ -91,6 +163,12 @@ def curate_documents(
     ``1 − n_distinct_lines/n_lines`` exceeds it are dropped; single-line
     and empty documents pass).
 
+    ``checkpoint_dir`` turns on stage-level checkpointing: each stage's
+    output lands durably under ``checkpoint_dir/<stage>/`` with an
+    atomic done-marker, and a re-run with identical parameters (and
+    input row count) resumes from the last completed stage instead of
+    recomputing the corpus — ``report.stages_resumed`` records which.
+
     Scale note: near-dup losers are removed with a bucketed anti-join
     (``stages/join.py``) — the verified-pair set stays a Dataset end to
     end (it is O(corpus) on a heavily duplicated crawl), never a driver
@@ -98,12 +176,41 @@ def curate_documents(
     """
     rows_in = ds.count()
 
+    ckpt = None
+    if checkpoint_dir:
+        ckpt = _StageCkpt(
+            checkpoint_dir,
+            {
+                "rows_in": rows_in,
+                "min_quality": min_quality,
+                "jaccard_threshold": jaccard_threshold,
+                "id_col": id_col,
+                "text_col": text_col,
+                "near_dup": bool(near_dup),
+                "probes": sorted(probes) if probes else None,
+                "max_dup_line_frac": max_dup_line_frac,
+            },
+        )
+
+    def _stage(name: str, build):
+        """Materialize a stage: via the durable checkpoint when enabled
+        (resume hit → no recompute), else into the object store."""
+        if ckpt is not None:
+            hit = ckpt.load(name)
+            if hit is not None:
+                return hit
+            return ckpt.save(name, build())
+        out = build().materialize()
+        return out, out.count()
+
     rows_after_contamination = None
     if probes:
         from ..stages.contamination import drop_contaminated
 
-        ds = drop_contaminated(ds, probes, text_col=text_col).materialize()
-        rows_after_contamination = ds.count()
+        ds, rows_after_contamination = _stage(
+            "01_decontaminated",
+            lambda: drop_contaminated(ds, probes, text_col=text_col),
+        )
 
     def analyze(batch: pa.Table) -> pa.Table:
         q = quality_features(batch[text_col])
@@ -131,27 +238,31 @@ def curate_documents(
             )
         return t.filter(pc.fill_null(mask, False))
 
-    filtered = analyzed.map_batches(
-        quality_filter,
-        batch_format="pyarrow",
-        **remote_env(),
-    ).materialize()  # counted AND re-consumed below — don't re-run analyze
-    rows_after_quality = filtered.count()
+    filtered, rows_after_quality = _stage(
+        "02_filtered",
+        lambda: analyzed.map_batches(
+            quality_filter, batch_format="pyarrow", **remote_env()
+        ),
+    )
 
-    deduped = exact_dedup(filtered, on=text_col, order_col=id_col).materialize()
-    rows_after_exact = deduped.count()
+    deduped, rows_after_exact = _stage(
+        "03_deduped",
+        lambda: exact_dedup(filtered, on=text_col, order_col=id_col),
+    )
 
     if near_dup:
         # materialized once: counted for the report AND consumed by the
-        # anti-join (object store, never the driver)
-        pairs = minhash_dedup(
-            deduped,
-            text_col=text_col,
-            id_col=id_col,
-            threshold=jaccard_threshold,
-            verify=verify,
-        ).materialize()
-        n_pairs = pairs.count()
+        # anti-join (object store / checkpoint dir, never the driver)
+        pairs, n_pairs = _stage(
+            "04_neardup_pairs",
+            lambda: minhash_dedup(
+                deduped,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=jaccard_threshold,
+                verify=verify,
+            ),
+        )
     else:
         pairs, n_pairs = None, 0
     if n_pairs:
@@ -189,6 +300,7 @@ def curate_documents(
         min_quality=min_quality,
         jaccard_threshold=jaccard_threshold,
         split_rows=split_rows,
+        stages_resumed=(ckpt.resumed if ckpt is not None else None),
     )
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
