@@ -262,3 +262,34 @@ def test_grouped_vocabulary_matches_pandas(docs, ray_session):
             if tok:
                 exp_rows[(row["lang"], tok)] = exp_rows.get((row["lang"], tok), 0) + 1
     assert {(r["lang"], r["token"]): r["n"] for _, r in got.iterrows()} == exp_rows
+
+
+def test_ngram_counts_matches_duckdb(docs, ray_session):
+    import duckdb
+
+    from ulp_ray.stages.vocab import ngram_counts
+
+    ds, t = docs
+    for n in (2, 3):
+        got = (
+            ngram_counts(ds, "text", n=n)
+            .to_pandas()
+            .sort_values("ngram")
+            .reset_index(drop=True)
+        )
+        join = " || ' ' || ".join(f"ts[i+{k}]" for k in range(n))
+        con = duckdb.connect()
+        con.register("documents", t)
+        exp = con.execute(
+            "WITH l AS (SELECT doc_id, list_filter(regexp_split_to_array(text,"
+            " '\\s+'), x -> x <> '') AS ts FROM documents) "
+            f"SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+            f"SELECT {join} AS ngram FROM l, "
+            f"UNNEST(generate_series(1, len(ts)-{n-1})) AS g(i)) "
+            "GROUP BY ngram ORDER BY ngram"
+        ).df()
+        pd.testing.assert_frame_equal(got, exp)
+    # windows never cross documents: "mat" (doc 0 end) + "the" (doc 1
+    # start) is not a bigram
+    g2 = ngram_counts(ds, "text", n=2).to_pandas()
+    assert "mat the" not in set(g2["ngram"])

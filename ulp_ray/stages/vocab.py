@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 
 from .._env import remote_env
 
-__all__ = ["vocabulary", "grouped_vocabulary", "doc_frequency", "doc_term_stats"]
+__all__ = ["vocabulary", "grouped_vocabulary", "ngram_counts", "doc_frequency", "doc_term_stats"]
 
 
 def _flat_tokens(col) -> pa.Array:
@@ -58,6 +58,61 @@ def vocabulary(ds, text_col: str = "text", min_count: int = 1):
             partial, batch_format="pyarrow", batch_size=None, **remote_env()
         ),
         ["token"],
+        ["n"],
+        count_col=None,
+    )
+    if min_count > 1:
+        out = out.filter(expr=f"n >= {min_count}")
+    return out
+
+
+def ngram_counts(ds, text_col: str = "text", n: int = 2, min_count: int = 1):
+    """Corpus word-n-gram frequency table: Dataset ``(ngram, n)`` where
+    an n-gram is ``n`` consecutive whitespace tokens joined by single
+    spaces (never crossing document boundaries).
+
+    Vectorized: per block, the flat token array is shifted ``n`` ways
+    and joined element-wise (``binary_join_element_wise``); a boundary
+    mask drops windows that would span documents; one ``value_counts``
+    makes the partial. Same partial + Sum fold shape as
+    :func:`vocabulary`."""
+    if n < 2:
+        raise ValueError("use vocabulary() for unigrams (n must be >= 2)")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch[text_col])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        par = parents[keep]
+        total = len(flat)
+        out_schema = pa.schema([("ngram", pa.string()), ("n", pa.int64())])
+        if total < n:
+            return out_schema.empty_table()
+        shifted = [flat.slice(k, total - n + 1) for k in range(n)]
+        grams = pc.binary_join_element_wise(*shifted, " ")
+        # windows must stay inside one document: valid iff the first and
+        # last token share a parent row
+        same_doc = par[: total - n + 1] == par[n - 1 :]
+        grams = grams.filter(pa.array(same_doc))
+        vc = grams.combine_chunks().value_counts() if isinstance(
+            grams, pa.ChunkedArray
+        ) else grams.value_counts()
+        return pa.table(
+            {"ngram": vc.field("values"), "n": vc.field("counts")},
+            schema=out_schema,
+        )
+
+    from .aggregate import sum_rollup
+
+    out = sum_rollup(
+        ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=None, **remote_env()
+        ),
+        ["ngram"],
         ["n"],
         count_col=None,
     )
