@@ -293,3 +293,46 @@ def test_ngram_counts_matches_duckdb(docs, ray_session):
     # start) is not a bigram
     g2 = ngram_counts(ds, "text", n=2).to_pandas()
     assert "mat the" not in set(g2["ngram"])
+
+
+def test_ngram_decontamination_join_path(ray_session):
+    """The huge-probe-set path: a doc sharing >= n consecutive words
+    with a probe is flagged; sharing only n-1 is not; ids stay a
+    Dataset; drop_contaminated_ngram removes exactly the flagged doc."""
+    import pyarrow as pa
+    import ray.data
+
+    from ulp_ray.stages.contamination import (
+        contaminated_ids_ngram,
+        drop_contaminated_ngram,
+    )
+
+    probe = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    # contains 8 consecutive probe words -> flagged at n=8
+                    "intro words then the quick brown fox jumps over the lazy tail end",
+                    # only 7 consecutive probe words -> clean at n=8
+                    "x the quick brown fox jumps over the y z w",
+                    "completely unrelated text about other things entirely here now",
+                    None,
+                ]
+            ),
+        }
+    )
+    probes = ray.data.from_arrow(pa.table({"text": pa.array([probe])}))
+    ds = ray.data.from_arrow(docs).repartition(2)
+    bad = sorted(
+        r["doc_id"] for r in contaminated_ids_ngram(ds, probes, n=8).take_all()
+    )
+    assert bad == [0]
+    kept = sorted(
+        r["doc_id"]
+        for r in drop_contaminated_ngram(ds, probes, n=8)
+        .select_columns(["doc_id"])
+        .take_all()
+    )
+    assert kept == [1, 2, 3]

@@ -9,11 +9,16 @@ shuffle. The alternation of all probes compiles to a single automaton
 (RE2 is linear-time in text length regardless of probe count), cached
 per worker keyed by the broadcast ref.
 
-For probe sets too large to compile into one automaton (millions of
-n-grams), the scale path is the n-gram join: shingle both sides and
-``bucketed_semi_join`` doc n-grams against probe n-grams — same
-fixed-width-exchange contract as the dedup family. This module covers
-the broadcast regime, which is the common benchmark-suite case.
+For probe sets too large to compile into one automaton, the scale path
+is the n-gram join (:func:`contaminated_ids_ngram` /
+:func:`drop_contaminated_ngram`): shingle BOTH sides into word-n-grams
+and ``bucketed_semi_join`` doc n-grams against probe n-grams — the
+probe set stays a Dataset end to end, only fixed-width (id, gram) rows
+cross the exchange, and a document is contaminated iff it shares any
+``n`` consecutive words with any probe (the standard n-gram
+decontamination criterion; probes shorter than ``n`` tokens contribute
+no grams and cannot flag anything — pick ``n`` at or below the
+shortest meaningful probe).
 """
 
 from __future__ import annotations
@@ -25,7 +30,12 @@ import pyarrow.compute as pc
 
 from .._env import remote_env
 
-__all__ = ["flag_contaminated", "drop_contaminated"]
+__all__ = [
+    "flag_contaminated",
+    "drop_contaminated",
+    "contaminated_ids_ngram",
+    "drop_contaminated_ngram",
+]
 
 # per-worker compiled-pattern cache, keyed by broadcast ref (one compile
 # per worker process, not per batch)
@@ -79,3 +89,95 @@ def drop_contaminated(
         return batch.filter(pc.invert(mask)).drop_columns(["__contam"])
 
     return flagged.map_batches(keep, batch_format="pyarrow", **remote_env())
+
+
+def _word_ngrams(ds, text_col: str, n: int, id_col: str | None):
+    """Per-block distinct word-n-grams: ``(gram)`` or ``(id, gram)``
+    rows — shifted-array element-wise join, windows never crossing a
+    row, one C-level group_by for the in-block dedup."""
+
+    def grams(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch[text_col])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        par = parents[keep]
+        total = len(flat)
+        fields = ([(id_col, batch.schema.field(id_col).type)] if id_col else []) + [
+            ("gram", pa.string())
+        ]
+        out_schema = pa.schema(fields)
+        if total < n:
+            return out_schema.empty_table()
+        shifted = [flat.slice(k, total - n + 1) for k in range(n)]
+        g = pc.binary_join_element_wise(*shifted, " ")
+        same_row = par[: total - n + 1] == par[n - 1 :]
+        g = g.filter(pa.array(same_row))
+        if id_col is None:
+            t = pa.table({"gram": g})
+            return t.group_by(["gram"]).aggregate([]).cast(out_schema)
+        ids = batch[id_col].take(
+            pa.array(par[: total - n + 1][same_row], pa.int64())
+        )
+        t = pa.table({id_col: ids, "gram": g})
+        return t.group_by([id_col, "gram"]).aggregate([]).cast(out_schema)
+
+    return ds.map_batches(grams, batch_format="pyarrow", **remote_env())
+
+
+def contaminated_ids_ngram(
+    ds,
+    probes_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    probe_text_col: str = "text",
+    buckets: int = 64,
+):
+    """Huge-probe-set decontamination: Dataset of the distinct
+    ``id_col`` values whose text shares at least one ``n``-word n-gram
+    with any probe document. Both sides shingle in place; the overlap
+    test is one gram-keyed :func:`~ulp_ray.stages.join.bucketed_semi_join`
+    (fixed-width exchange); the result is a Dataset of ids — never a
+    driver set."""
+    from .join import bucketed_semi_join
+
+    doc_grams = _word_ngrams(ds, text_col, n, id_col)
+    probe_grams = _word_ngrams(probes_ds, probe_text_col, n, None)
+    hits = bucketed_semi_join(
+        doc_grams, probe_grams, on="gram", buckets=buckets
+    )
+
+    def distinct_ids(batch: pa.Table) -> pa.Table:
+        return batch.select([id_col]).group_by([id_col]).aggregate([])
+
+    # two-level distinct: in-block first, then a tiny grouped pass
+    return (
+        hits.map_batches(distinct_ids, batch_format="pyarrow", **remote_env())
+        .groupby(id_col)
+        .count()
+        .select_columns([id_col])
+    )
+
+
+def drop_contaminated_ngram(
+    ds,
+    probes_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    probe_text_col: str = "text",
+):
+    """Filter out documents sharing any ``n``-gram with the probe set —
+    a bucketed anti-join against :func:`contaminated_ids_ngram` (ids
+    stay a Dataset end to end)."""
+    from .join import bucketed_anti_join
+
+    bad = contaminated_ids_ngram(
+        ds, probes_ds, text_col=text_col, id_col=id_col, n=n,
+        probe_text_col=probe_text_col,
+    )
+    return bucketed_anti_join(ds, bad, on=id_col)
