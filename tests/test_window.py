@@ -247,3 +247,38 @@ def test_grouped_rank_matches_duckdb(ray_session):
         gm = got.groupby(["k", "o"])["r"].first()
         em = exp.groupby(["k", "o"])["r"].first()
         assert (gm == em).all(), method
+
+
+def test_lag_column_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from ulp_ray.stages.window import lag_column
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 31, n), pa.int64()),
+            "o": pa.array(rng.permutation(n), pa.int64()),
+            "v": pa.array(rng.random(n) * 10, pa.float64(),
+                          mask=rng.random(n) < 0.05),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    con = duckdb.connect()
+    con.register("t", t)
+    for off, sql in [(1, "LAG(v, 1)"), (3, "LAG(v, 3)"), (-2, "LEAD(v, 2)")]:
+        got = (
+            lag_column(ds, "k", ["o"], "v", offset=off, out_col="x")
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        exp = con.execute(
+            f"SELECT k, o, v, {sql} OVER (PARTITION BY k ORDER BY o) AS x "
+            "FROM t ORDER BY k, o"
+        ).df()
+        ge, ee = got["x"].to_numpy(dtype=float), exp["x"].to_numpy(dtype=float)
+        both_nan = np.isnan(ge) & np.isnan(ee)
+        assert (both_nan | (ge == ee)).all(), off

@@ -38,6 +38,7 @@ __all__ = [
     "running_aggregate",
     "rolling_aggregate",
     "grouped_rank",
+    "lag_column",
 ]
 
 
@@ -248,6 +249,46 @@ def grouped_rank(
 
     return (
         with_bucket(ds, key_list, buckets)
+        .groupby("__bucket")
+        .map_groups(run, batch_format="pandas", **remote_env())
+    )
+
+
+def lag_column(
+    ds,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    offset: int = 1,
+    out_col: str | None = None,
+    buckets: int = 64,
+):
+    """Per-key LAG/LEAD — the SQL ``LAG(v, k) OVER (PARTITION BY key
+    ORDER BY o)`` shape (negative ``offset`` = LEAD). The first/last
+    ``|offset|`` rows of each key get null. Include a unique tiebreaker
+    in ``order_cols`` for a deterministic, oracle-comparable result.
+
+    Same co-group contract as the other window ops: one sort + one
+    C-level ``GroupBy.shift`` per bucket."""
+    if offset == 0:
+        raise ValueError("offset must be non-zero (0 is the row itself)")
+    name = out_col or (f"lag_{value_col}" if offset > 0 else f"lead_{value_col}")
+    if name in ds.schema().names:
+        raise ValueError(
+            f"out_col {name!r} collides with an input column — pass out_col"
+        )
+
+    from ._bucket import with_bucket
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + list(order_cols), kind="stable").drop(
+            columns="__bucket"
+        )
+        g[name] = g.groupby(key, sort=False, dropna=False)[value_col].shift(offset)
+        return g
+
+    return (
+        with_bucket(ds, [key], buckets)
         .groupby("__bucket")
         .map_groups(run, batch_format="pandas", **remote_env())
     )
