@@ -355,9 +355,11 @@ def grouped_moments(
     def partial(batch: pa.Table) -> pa.Table:
         v = pc.cast(
             # half-away ties like DuckDB/SQL ROUND (Arrow defaults to
-            # half-even; real doubles almost never tie, but pin it)
+            # half-even; real doubles almost never tie, but pin it).
+            # Widen to float64 FIRST: scaling a float32 column in
+            # float32 rounds differently than SQL's double promotion
             pc.round(
-                pc.multiply(batch[value_col], float(scale)),
+                pc.multiply(pc.cast(batch[value_col], pa.float64()), float(scale)),
                 round_mode="half_towards_infinity",
             ),
             pa.int64(),
