@@ -163,3 +163,16 @@ def test_chunk_documents_boundaries(ray_session):
     for k, n in docs.items():
         joined = " ".join(out[out["doc_id"] == k]["text"])
         assert joined == " ".join(f"d{k}t{i}" for i in range(n))
+
+
+def test_chunk_documents_rejects_negative_overlap(ray_session):
+    import pytest as _pytest
+    import ray.data
+
+    from ulp_ray.stages.chunk import chunk_documents
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array(["a b"])})
+    )
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(ds, max_tokens=8, overlap=-1)

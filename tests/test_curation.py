@@ -215,3 +215,24 @@ def test_curation_checkpoint_zero_pair_stage(ray_session, tmp_path):
     _, r2, _ = curate_documents(ds, min_quality=0.0, checkpoint_dir=ck)
     assert "04_neardup_pairs" in r2.stages_resumed
     assert r2.rows_out == 2
+
+
+def test_curation_out_dir_rerun_does_not_duplicate(ray_session, tmp_path):
+    """Review regression: re-running with the same out_dir (the
+    checkpoint-resume flow) must overwrite curated/, not append a second
+    generation of files."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    ds = ray.data.from_arrow(_docs()).repartition(2)
+    out = str(tmp_path / "o")
+    ck = str(tmp_path / "c")
+    _, r1, _ = curate_documents(ds, out_dir=out, min_quality=0.2, checkpoint_dir=ck)
+    _, r2, _ = curate_documents(ds, out_dir=out, min_quality=0.2, checkpoint_dir=ck)
+    rows = sum(
+        _pq.read_metadata(f).num_rows
+        for f in _glob.glob(os.path.join(out, "curated", "*.parquet"))
+    )
+    assert rows == r2.rows_out == r1.rows_out

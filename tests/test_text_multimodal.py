@@ -341,3 +341,42 @@ def test_image_decoder_decodes_real_png_rows(ray_session):
     for r in out:
         if r["media_id"] in png_dims:
             assert (r["width"], r["height"]) == png_dims[r["media_id"]]
+
+
+def test_audio_featurizer_8bit_and_32bit_wav():
+    """Review regression: sample width is honored (8-bit unsigned and
+    32-bit PCM decode to the right duration; odd-length 8-bit does not
+    crash the stage)."""
+    import io
+    import wave
+
+    import numpy as np
+    import pyarrow as pa
+
+    def wav_bytes(data: bytes, width: int, rate: int) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            w.writeframes(data)
+        return buf.getvalue()
+
+    u8 = (np.sin(np.arange(4001) / 5) * 100 + 128).astype(np.uint8)  # odd length
+    i32 = (np.sin(np.arange(8000) / 5) * 2**30).astype(np.int32)
+    batch = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array(
+                [wav_bytes(u8.tobytes(), 1, 4001), wav_bytes(i32.tobytes(), 4, 8000)],
+                pa.binary(),
+            ),
+        }
+    )
+    from ulp_ray.stages.multimodal import AudioFeaturizer
+
+    out = AudioFeaturizer()(batch)
+    durs = out["duration_ms"].to_pylist()
+    assert durs[0] == 1000  # 4001 samples at 4001 Hz (8-bit honored)
+    assert durs[1] == 1000  # 8000 samples at 8 kHz (32-bit honored)
+    assert all(r > 0 for r in out["rms"].to_pylist())

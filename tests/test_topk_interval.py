@@ -275,3 +275,24 @@ def test_grouped_collect_distinct_sorted(ray_session):
         .set_index("k")
     )
     assert out2.loc["a", "values_joined"] == "m|z|z"
+
+
+def test_grouped_collect_null_numeric_key_single_group(ray_session):
+    """Review regression: a numeric key column's null group must stay
+    ONE group (NaN != NaN previously fragmented it per value)."""
+    import pyarrow as pa
+    import ray.data
+
+    from ulp_ray.stages.aggregate import grouped_collect
+
+    t = pa.table(
+        {
+            "k": pa.array([1, None, None, None], pa.int64()),
+            "v": pa.array(["a", "c", "b", "c"]),
+        }
+    )
+    out = grouped_collect(ray.data.from_arrow(t), ["k"], "v").to_pandas()
+    assert len(out) == 2
+    null_row = out[out["k"].isna()]
+    assert len(null_row) == 1
+    assert null_row.iloc[0]["values_joined"] == "b|c"

@@ -93,11 +93,25 @@ class _StageCkpt:
             # the schema so a resume can re-read without recomputing
             schema = out.schema()
             arrow_schema = getattr(schema, "base_schema", None)
-            if arrow_schema is None:
-                arrow_schema = pa.schema([])
+            if arrow_schema is None or len(arrow_schema) == 0:
+                # schema unknowable: better an un-checkpointed stage
+                # (recomputed on resume) than a column-less pin that
+                # crashes the NEXT run's downstream stages
+                return out, rows
             _pq.write_table(
                 arrow_schema.empty_table(), os.path.join(d, "part-empty.parquet")
             )
+        # the marker vouches for the data: fsync the parquet files (and
+        # the dir) BEFORE the marker rename, or a crash could leave a
+        # valid marker over torn pages
+        for name in os.listdir(d):
+            with open(os.path.join(d, name), "rb") as df_:
+                os.fsync(df_.fileno())
+        dirfd = os.open(d, os.O_RDONLY)
+        try:
+            os.fsync(dirfd)
+        finally:
+            os.close(dirfd)
         tmp = os.path.join(d, "_done.json.tmp")
         with open(tmp, "w") as f:
             json.dump({"fingerprint": self.fp, "rows": rows}, f)
@@ -304,6 +318,10 @@ def curate_documents(
     )
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
+        # deterministic overwrite: a re-run (the checkpoint_dir resume
+        # flow in particular) must not append a second generation of
+        # files into curated/ — same discipline as splits/ below
+        shutil.rmtree(os.path.join(out_dir, "curated"), ignore_errors=True)
         curated.write_parquet(os.path.join(out_dir, "curated"))
         if split_sets:
             # deterministic overwrite — stale split dirs from a previous

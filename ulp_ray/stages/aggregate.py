@@ -440,13 +440,19 @@ def grouped_collect(
         )
         g = g.take(order)
         n = len(g)
-        key_np = [
-            g[k].to_numpy(zero_copy_only=False) for k in key_list
-        ]
         key_change = np.zeros(n, dtype=bool)
         key_change[0] = True
-        for arr in key_np:
-            key_change[1:] |= arr[1:] != arr[:-1]
+        for k in key_list:
+            arr = g[k].to_numpy(zero_copy_only=False)
+            neq = arr[1:] != arr[:-1]
+            # NaN != NaN would fragment the null-key group (numeric and
+            # temporal keys promote nulls to NaN/NaT) — SQL GROUP BY has
+            # ONE null group, so two adjacent nulls are NOT a boundary
+            import pandas as _pd
+
+            nulls = _pd.isna(arr)
+            neq &= ~(nulls[1:] & nulls[:-1])
+            key_change[1:] |= neq
         if distinct:
             v_np = g[value_col].to_numpy(zero_copy_only=False)
             keep = key_change.copy()

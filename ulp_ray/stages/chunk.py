@@ -37,17 +37,10 @@ def _filtered_token_lists(col) -> tuple[pa.Array, np.ndarray]:
     """Whitespace-split a string column and drop empty tokens; returns
     (flat token array, int64 row offsets of length n+1). Null rows get
     zero tokens."""
-    toks = pc.utf8_split_whitespace(col)
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    flat = pc.list_flatten(toks)
-    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-    keep = pc.not_equal(flat, "")
-    keep_np = keep.to_numpy(zero_copy_only=False)
-    flat = flat.filter(keep)
-    counts = np.bincount(parents[keep_np], minlength=len(col)).astype(np.int64)
-    offsets = np.concatenate([[0], np.cumsum(counts)])
-    return flat, offsets
+    from ._tokens import flat_tokens, token_offsets
+
+    flat, par = flat_tokens(col)
+    return flat, token_offsets(par, len(col))
 
 
 def chunk_documents(
@@ -62,8 +55,9 @@ def chunk_documents(
     tokens ``[i·step, i·step + max_tokens)``, ``step = max_tokens −
     overlap``. A document with ≤ max_tokens tokens yields one chunk;
     an empty or null text yields none."""
-    if overlap >= max_tokens:
-        raise ValueError("overlap must be < max_tokens")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must be in [0, max_tokens) — a negative "
+                         "overlap would silently skip tokens between chunks")
     step = max_tokens - overlap
 
     def chunk(batch: pa.Table) -> pa.Table:

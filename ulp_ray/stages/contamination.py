@@ -97,31 +97,20 @@ def _word_ngrams(ds, text_col: str, n: int, id_col: str | None):
     row, one C-level group_by for the in-block dedup."""
 
     def grams(batch: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(batch[text_col])
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        flat = flat.filter(pa.array(keep))
-        par = parents[keep]
-        total = len(flat)
+        from ._tokens import flat_tokens, word_ngrams_flat
+
+        flat, par = flat_tokens(batch[text_col])
         fields = ([(id_col, batch.schema.field(id_col).type)] if id_col else []) + [
             ("gram", pa.string())
         ]
         out_schema = pa.schema(fields)
-        if total < n:
+        g, gram_par = word_ngrams_flat(flat, par, n)
+        if len(g) == 0:
             return out_schema.empty_table()
-        shifted = [flat.slice(k, total - n + 1) for k in range(n)]
-        g = pc.binary_join_element_wise(*shifted, " ")
-        same_row = par[: total - n + 1] == par[n - 1 :]
-        g = g.filter(pa.array(same_row))
         if id_col is None:
             t = pa.table({"gram": g})
             return t.group_by(["gram"]).aggregate([]).cast(out_schema)
-        ids = batch[id_col].take(
-            pa.array(par[: total - n + 1][same_row], pa.int64())
-        )
+        ids = batch[id_col].take(pa.array(gram_par, pa.int64()))
         t = pa.table({id_col: ids, "gram": g})
         return t.group_by([id_col, "gram"]).aggregate([]).cast(out_schema)
 

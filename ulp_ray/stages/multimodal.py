@@ -328,7 +328,16 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         rate = w.getframerate()
         n = w.getnframes()
         raw = w.readframes(n)
-        pcm = np.frombuffer(raw, dtype=np.int16)
+        width = w.getsampwidth()
+        if width == 1:  # 8-bit WAV is unsigned, offset-128
+            u8 = np.frombuffer(raw, dtype=np.uint8).astype(np.int16)
+            pcm = ((u8 - 128) << 8).astype(np.int16)
+        elif width == 2:
+            pcm = np.frombuffer(raw, dtype=np.int16)
+        elif width == 4:
+            pcm = (np.frombuffer(raw, dtype=np.int32) >> 16).astype(np.int16)
+        else:  # 24-bit etc.: not supported by this dependency-free path
+            raise wave.Error(f"unsupported sample width {width}")
         if w.getnchannels() > 1:  # average to mono
             pcm = pcm.reshape(-1, w.getnchannels()).mean(axis=1).astype(np.int16)
     return pcm, rate
@@ -354,7 +363,7 @@ class AudioFeaturizer:
         for payload in batch["payload"].to_pylist():
             try:
                 pcm, rate = _decode_wav(payload)
-            except (wave.Error, EOFError):
+            except (wave.Error, EOFError, ValueError):
                 pcm = np.frombuffer(
                     payload[: len(payload) // 2 * 2], dtype=np.int16
                 )

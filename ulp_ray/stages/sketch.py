@@ -115,20 +115,26 @@ def grouped_quantile_sketch(
 
     key_list = list(keys)
     name = out_col or f"q{q}"
-    _NULLK = "\x00\x00null"
 
     def _mk_arrow(tbl: pa.Table) -> pa.Array:
         """Sentinel-encoded string merge key over the key columns, built
         from the ARROW representation on both sides so null keys survive
         the pandas merge (NaN never equi-joins) and int-with-null key
         columns can't desync between a null-free batch (int64) and the
-        broadcast bounds (float64 after to_pandas)."""
+        broadcast bounds (float64 after to_pandas). Each part is
+        LENGTH-PREFIXED ("<len>:<value>", null → "N") so key values
+        containing the field separator — or a value literally equal to
+        a null sentinel — cannot make two distinct key tuples collide."""
         parts = []
         for k in key_list:
             col = tbl[k]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            parts.append(pc.fill_null(pc.cast(col, pa.string()), _NULLK))
+            sv = pc.cast(col, pa.string())
+            enc = pc.binary_join_element_wise(
+                pc.cast(pc.utf8_length(sv), pa.string()), sv, ":"
+            )
+            parts.append(pc.fill_null(enc, "N"))
         if len(parts) == 1:
             return parts[0]
         return pc.binary_join_element_wise(*parts, "\x1f")

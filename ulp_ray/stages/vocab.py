@@ -29,10 +29,9 @@ __all__ = ["vocabulary", "grouped_vocabulary", "ngram_counts", "doc_frequency", 
 
 def _flat_tokens(col) -> pa.Array:
     """Flatten a text column into its non-empty whitespace tokens."""
-    toks = pc.list_flatten(pc.utf8_split_whitespace(col))
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    return toks.filter(pc.not_equal(toks, ""))
+    from ._tokens import flat_tokens
+
+    return flat_tokens(col)[0]
 
 
 def vocabulary(ds, text_col: str = "text", min_count: int = 1):
@@ -80,27 +79,14 @@ def ngram_counts(ds, text_col: str = "text", n: int = 2, min_count: int = 1):
         raise ValueError("use vocabulary() for unigrams (n must be >= 2)")
 
     def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(batch[text_col])
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        flat = flat.filter(pa.array(keep))
-        par = parents[keep]
-        total = len(flat)
+        from ._tokens import flat_tokens, word_ngrams_flat
+
+        flat, par = flat_tokens(batch[text_col])
         out_schema = pa.schema([("ngram", pa.string()), ("n", pa.int64())])
-        if total < n:
+        grams, _ = word_ngrams_flat(flat, par, n)
+        if len(grams) == 0:
             return out_schema.empty_table()
-        shifted = [flat.slice(k, total - n + 1) for k in range(n)]
-        grams = pc.binary_join_element_wise(*shifted, " ")
-        # windows must stay inside one document: valid iff the first and
-        # last token share a parent row
-        same_doc = par[: total - n + 1] == par[n - 1 :]
-        grams = grams.filter(pa.array(same_doc))
-        vc = grams.combine_chunks().value_counts() if isinstance(
-            grams, pa.ChunkedArray
-        ) else grams.value_counts()
+        vc = grams.value_counts()
         return pa.table(
             {"ngram": vc.field("values"), "n": vc.field("counts")},
             schema=out_schema,
