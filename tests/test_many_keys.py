@@ -118,3 +118,15 @@ def test_turn_gaps_many_keys(events):
     got = out.sort_values(key).reset_index(drop=True)
     want = want.sort_values(key).reset_index(drop=True)[got.columns.tolist()]
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_default_buckets_scales_with_cluster(ray_session):
+    """buckets=None resolves to max(floor, 4 x cluster CPUs) — the
+    co-group reduce keeps every core fed on a big cluster."""
+    import ray
+
+    from ulp_ray.stages._bucket import default_buckets
+
+    cpus = int(ray.cluster_resources().get("CPU", 0))
+    assert default_buckets() == max(64, 4 * cpus)
+    assert default_buckets(floor=1000) == max(1000, 4 * cpus)

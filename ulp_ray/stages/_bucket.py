@@ -23,6 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = [
+    "default_buckets",
     "hash_u64",
     "key_hash_u64",
     "combine_hash",
@@ -135,12 +136,37 @@ def combine_hash(h: np.ndarray, hc: np.ndarray) -> np.ndarray:
     return h * _FNV + hc
 
 
-def with_bucket(ds, on_cols: list[str], buckets: int, name: str = "__bucket"):
+def default_buckets(floor: int = 64, per_cpu: int = 4) -> int:
+    """Bucket count scaled to the cluster: ``max(floor, per_cpu ×
+    cluster CPUs)``. A fixed 64 under-parallelizes the co-group reduce
+    on a large cluster (64 tasks across thousands of cores); scaling
+    with CPUs keeps every core fed while the floor keeps small runs from
+    fragmenting into tiny groups. Bucket count never changes RESULTS —
+    only the partitioning — so stages may resolve it lazily."""
+    try:
+        import ray
+
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 0))
+            if ray.is_initialized()
+            else 0
+        )
+    except Exception:  # pragma: no cover - ray import/cluster probe
+        cpus = 0
+    return max(floor, cpus * per_cpu)
+
+
+def with_bucket(
+    ds, on_cols: list[str], buckets: int | None, name: str = "__bucket"
+):
     """The standard co-group prologue: append ``hash(keys) % buckets``
     as ``name`` via one map_batches pass (every bucketed stage shares
-    this; keep the contract in one place)."""
+    this; keep the contract in one place). ``buckets=None`` resolves to
+    :func:`default_buckets` — cluster-scaled."""
     from .._env import remote_env
 
+    if buckets is None:
+        buckets = default_buckets()
     cols = list(on_cols)
 
     def fn(batch: pa.Table) -> pa.Table:

@@ -35,7 +35,7 @@ def asof_join(
     right_ts_col: str | None = None,
     direction: str = "backward",
     suffix: str = "_r",
-    buckets: int = 64,
+    buckets: int | None = None,
 ):
     """Left as-of join: every left row gains the columns of the closest
     (per ``direction``) right row sharing ``on``.
@@ -73,7 +73,10 @@ def asof_join(
         + [(c, types[c]) for c in l_payload + out_r_payload]
     )
 
-    from ._bucket import bucket_column
+    from ._bucket import bucket_column, default_buckets
+
+    if buckets is None:
+        buckets = default_buckets()
 
     def pad_left(batch: pa.Table) -> pa.Table:
         cols = {on: batch[on], "__ts": batch[ts_col]}

@@ -124,7 +124,7 @@ def contaminated_ids_ngram(
     id_col: str = "doc_id",
     n: int = 8,
     probe_text_col: str = "text",
-    buckets: int = 64,
+    buckets: int | None = None,
 ):
     """Huge-probe-set decontamination: Dataset of the distinct
     ``id_col`` values whose text shares at least one ``n``-word n-gram

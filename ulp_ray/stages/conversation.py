@@ -123,7 +123,7 @@ def conversation_stats(ds, driver_fold_max_rows: int = 2_000_000):
     )
 
 
-def turn_gaps(ds, buckets: int = 64):
+def turn_gaps(ds, buckets: int | None = None):
     """Per-turn latency: ``conv_id, turn_idx, gap_s`` (ts delta to the
     previous turn; first turn → null). Order established per bucket by a
     single (conv_id, turn_idx) sort; conversation boundaries mask the
@@ -153,7 +153,7 @@ def turn_gaps(ds, buckets: int = 64):
     )
 
 
-def assemble_conversations(ds, buckets: int = 64):
+def assemble_conversations(ds, buckets: int | None = None):
     """Reassemble turns into one row per conversation:
     ``conv_id, n_turns, turns: list<struct{turn_idx, role, text, tool}>``
     sorted by turn_idx — the export shape for conversation-level training

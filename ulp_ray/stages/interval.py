@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .._env import remote_env
-from ._bucket import bucket_column
+from ._bucket import bucket_column, default_buckets
 
 __all__ = ["interval_join"]
 
@@ -36,12 +36,14 @@ def interval_join(
     ts_col: str = "ts",
     start_col: str = "start",
     end_col: str = "end",
-    buckets: int = 64,
+    buckets: int | None = None,
 ):
     """Inner interval-containment join; returns left columns + the
     matching right columns (callers must pre-rename collisions)."""
     from ._bucket import arrow_type_of
 
+    if buckets is None:
+        buckets = default_buckets()
     lcols = list(left.schema().names)
     rcols = list(right.schema().names)
     overlap = (set(lcols) & set(rcols)) - {on}

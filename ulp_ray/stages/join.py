@@ -75,7 +75,7 @@ def bucketed_hash_join(
     left,
     right,
     on: str | Sequence[str],
-    buckets: int = 32,
+    buckets: int | None = None,
     how: str = "inner",
 ):
     """Explicit partitioned hash join: both sides bucketed on
@@ -98,7 +98,10 @@ def bucketed_hash_join(
                 "— cast one side before joining"
             )
 
-    from ._bucket import bucket_column
+    from ._bucket import bucket_column, default_buckets
+
+    if buckets is None:
+        buckets = default_buckets(32)
 
     def add_bucket(side: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -175,7 +178,7 @@ def _bucketed_membership_join(
     right,
     on: str,
     right_on: str | None,
-    buckets: int,
+    buckets: int | None,
     keep_matched: bool,
     null_matches_null: bool,
 ):
@@ -185,6 +188,10 @@ def _bucketed_membership_join(
     bucket decides membership. ``keep_matched`` selects semi (True) vs
     anti (False); ``null_matches_null`` controls whether a null left
     key counts as present when the right side holds a null key."""
+    from ._bucket import default_buckets
+
+    if buckets is None:
+        buckets = default_buckets()
     rkey = right_on or on
     lt = dict(zip(left.schema().names, left.schema().types))
     rt = dict(zip(right.schema().names, right.schema().types))
@@ -242,7 +249,7 @@ def bucketed_anti_join(
     right,
     on: str,
     right_on: str | None = None,
-    buckets: int = 64,
+    buckets: int | None = None,
 ):
     """Anti join: ``left`` rows whose ``on`` value does NOT appear in
     ``right[right_on]``. Both sides co-grouped by ``hash(key) % buckets``
@@ -268,7 +275,7 @@ def bucketed_semi_join(
     right,
     on: str,
     right_on: str | None = None,
-    buckets: int = 64,
+    buckets: int | None = None,
 ):
     """Semi join: ``left`` rows whose ``on`` value appears in
     ``right[right_on]`` — the SQL ``WHERE EXISTS (SELECT 1 FROM right

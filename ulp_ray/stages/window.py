@@ -91,7 +91,7 @@ def running_aggregate(
     value_col: str,
     agg: str = "cumsum",
     out_col: str | None = None,
-    buckets: int = 64,
+    buckets: int | None = None,
 ):
     """Per-key running aggregate in ``order_col`` order — the SQL
     ``SUM(v) OVER (PARTITION BY key ORDER BY o ROWS UNBOUNDED
@@ -151,7 +151,7 @@ def rolling_aggregate(
     window_rows: int,
     agg: str = "mean",
     out_col: str | None = None,
-    buckets: int = 64,
+    buckets: int | None = None,
 ):
     """Per-key rolling row-frame aggregate — the SQL
     ``AVG(v) OVER (PARTITION BY key ORDER BY o ROWS BETWEEN w-1
@@ -208,7 +208,7 @@ def grouped_rank(
     order_cols: list[str],
     method: str = "row_number",
     out_col: str | None = None,
-    buckets: int = 64,
+    buckets: int | None = None,
 ):
     """Per-group ranking — SQL ``ROW_NUMBER() / RANK() / DENSE_RANK()
     OVER (PARTITION BY keys ORDER BY order_cols)``.
@@ -261,7 +261,7 @@ def lag_column(
     value_col: str,
     offset: int = 1,
     out_col: str | None = None,
-    buckets: int = 64,
+    buckets: int | None = None,
 ):
     """Per-key LAG/LEAD — the SQL ``LAG(v, k) OVER (PARTITION BY key
     ORDER BY o)`` shape (negative ``offset`` = LEAD). The first/last
@@ -295,7 +295,7 @@ def lag_column(
 
 
 def session_windows(
-    ds, key: str, ts_col: str = "ts", gap_s: int = 1800, buckets: int = 64
+    ds, key: str, ts_col: str = "ts", gap_s: int = 1800, buckets: int | None = None
 ):
     """Per-key sessions (gap-based): one output row per session with
     ``session_start``, ``session_end``, ``n_events``."""
