@@ -296,6 +296,8 @@ def repetition_features(arr: pa.Array | pa.ChunkedArray) -> pa.Table:
     def per_row_counts(list_arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(total, distinct, max_multiplicity) per original row for a
         list<string> column, ignoring empty-string elements."""
+        from ..stages._tokens import distinct_pair_stats
+
         if isinstance(list_arr, pa.ChunkedArray):
             list_arr = list_arr.combine_chunks()
         flat = pc.list_flatten(list_arr)
@@ -304,11 +306,7 @@ def repetition_features(arr: pa.Array | pa.ChunkedArray) -> pa.Table:
         vals = flat.to_numpy(zero_copy_only=False)[keep]
         par = parents[keep].astype(np.int64)
         total = np.bincount(par, minlength=n)
-        vid, uniq = pd.factorize(vals)
-        n_vals = max(len(uniq), 1)
-        pair = par * np.int64(n_vals) + vid
-        uniq_pair, pair_counts = np.unique(pair, return_counts=True)
-        pair_parent = uniq_pair // n_vals
+        _, pair_parent, _, pair_counts = distinct_pair_stats(par, vals)
         distinct = np.bincount(pair_parent, minlength=n)
         mx = np.zeros(n, dtype=np.int64)
         np.maximum.at(mx, pair_parent, pair_counts)

@@ -15,7 +15,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["flat_tokens", "token_offsets", "word_ngrams_flat"]
+__all__ = ["flat_tokens", "token_offsets", "word_ngrams_flat", "distinct_pair_stats"]
 
 
 def flat_tokens(col) -> tuple[pa.Array, np.ndarray]:
@@ -55,3 +55,27 @@ def word_ngrams_flat(
     if isinstance(grams, pa.ChunkedArray):
         grams = grams.combine_chunks()
     return pc.cast(grams, pa.string()), par[: total - n + 1][same_row]
+
+
+def distinct_pair_stats(
+    par: np.ndarray, vals: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Distinct (row, value) pair statistics over parallel parent/value
+    arrays, all C-level: hash-factorize the values once (O(n), no string
+    sort), dedup (row, value_id) int pairs with one ``np.unique``, and
+    return ``(uniq_vals, pair_row, pair_value_id, pair_count)`` — one
+    entry per distinct pair, with that pair's multiplicity. Shared by
+    the document-frequency fold (count rows per value) and the
+    repetition stats (count/max distinct values per row)."""
+    import pandas as pd
+
+    vid, uniq_vals = pd.factorize(vals)
+    n_vals = max(len(uniq_vals), 1)
+    pair = par.astype(np.int64) * np.int64(n_vals) + vid
+    uniq_pair, pair_count = np.unique(pair, return_counts=True)
+    return (
+        np.asarray(uniq_vals),
+        uniq_pair // n_vals,
+        (uniq_pair % n_vals).astype(np.int64),
+        pair_count,
+    )

@@ -155,26 +155,13 @@ def doc_frequency(ds, text_col: str = "text", min_count: int = 1):
     exactly."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(batch[text_col])
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        tok_np = flat.to_numpy(zero_copy_only=False)[keep]
-        par_np = parents[keep]
-        # dedup (doc, token) pairs: hash-factorize tokens once (O(n),
-        # no string sort), then unique over the (parent, token_id) int
-        # pair — all C-level
-        import pandas as pd
+        from ._tokens import distinct_pair_stats, flat_tokens
 
-        tok_id, uniq_tok = pd.factorize(tok_np)
-        n_tok = max(len(uniq_tok), 1)
-        pair = par_np.astype(np.int64) * np.int64(n_tok) + tok_id
-        uniq_pair = np.unique(pair)
-        counts = np.bincount(
-            (uniq_pair % n_tok).astype(np.int64), minlength=len(uniq_tok)
-        )[: len(uniq_tok)]
+        flat, par = flat_tokens(batch[text_col])
+        uniq_tok, _, pair_tok, _ = distinct_pair_stats(
+            par, flat.to_numpy(zero_copy_only=False)
+        )
+        counts = np.bincount(pair_tok, minlength=len(uniq_tok))[: len(uniq_tok)]
         return pa.table(
             {
                 "token": pa.array(uniq_tok, pa.string()),
