@@ -286,8 +286,6 @@ def repetition_features(arr: pa.Array | pa.ChunkedArray) -> pa.Table:
     value-id) int pairs, per-document max token multiplicity via
     ``np.maximum.at`` — no Python per document. Null text → all-null
     row (SQL split(NULL) semantics)."""
-    import pandas as pd
-
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)

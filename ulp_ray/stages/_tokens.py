@@ -71,7 +71,7 @@ def distinct_pair_stats(
 
     vid, uniq_vals = pd.factorize(vals)
     n_vals = max(len(uniq_vals), 1)
-    pair = par.astype(np.int64) * np.int64(n_vals) + vid
+    pair = par.astype(np.int64, copy=False) * np.int64(n_vals) + vid
     uniq_pair, pair_count = np.unique(pair, return_counts=True)
     return (
         np.asarray(uniq_vals),
