@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 
 __all__ = [
     "default_buckets",
+    "resolve_buckets",
     "hash_u64",
     "key_hash_u64",
     "combine_hash",
@@ -136,13 +137,29 @@ def combine_hash(h: np.ndarray, hc: np.ndarray) -> np.ndarray:
     return h * _FNV + hc
 
 
-def default_buckets(floor: int = 64, per_cpu: int = 4) -> int:
+def default_buckets(
+    floor: int = 64, per_cpu: int = 4, est_rows: int | None = None
+) -> int:
     """Bucket count scaled to the cluster: ``max(floor, per_cpu ×
     cluster CPUs)``. A fixed 64 under-parallelizes the co-group reduce
     on a large cluster (64 tasks across thousands of cores); scaling
     with CPUs keeps every core fed while the floor keeps small runs from
     fragmenting into tiny groups. Bucket count never changes RESULTS —
-    only the partitioning — so stages may resolve it lazily."""
+    only the partitioning — so stages may resolve it lazily.
+
+    ``est_rows`` (when the caller can know it cheaply, e.g. from parquet
+    metadata) caps the count at ``ceil(rows / _TARGET_ROWS_PER_BUCKET)``
+    so small inputs don't pay cluster-width shuffle fan-out: each bucket
+    task has fixed scheduling + pandas-conversion overhead, and buckets
+    beyond ~rows/250k just fragment a fixed input into more, smaller
+    tasks (measured: see BASELINE.md optimization log, round 4).
+
+    The ``ULP_RAY_BUCKETS`` env var, when set, overrides everything —
+    a pin for benchmarks/A-B tests. Explicit ``buckets=`` at stage
+    level always wins over this default entirely."""
+    pinned = _os.environ.get("ULP_RAY_BUCKETS")
+    if pinned:
+        return int(pinned)
     try:
         import ray
 
@@ -153,7 +170,38 @@ def default_buckets(floor: int = 64, per_cpu: int = 4) -> int:
         )
     except Exception:  # pragma: no cover - ray import/cluster probe
         cpus = 0
-    return max(floor, cpus * per_cpu)
+    n = max(floor, cpus * per_cpu)
+    if est_rows is not None and est_rows >= 0:
+        cap = max(floor, -(-est_rows // _TARGET_ROWS_PER_BUCKET))
+        n = min(n, cap)
+    return n
+
+
+_TARGET_ROWS_PER_BUCKET = 250_000
+
+
+def resolve_buckets(buckets: int | None, *datasets, floor: int = 64) -> int:
+    """Stage-side bucket resolution: explicit ``buckets`` always wins;
+    otherwise :func:`default_buckets`, rows-capped when every input
+    Dataset's row count is FREE to know (parquet metadata on an
+    untransformed read — ``Dataset._meta_count()``; any transformed
+    input returns None and the cap is skipped rather than paying an
+    execution to count). The cap only ever LOWERS the count, so a
+    256-core cluster still gets its fan-out on big inputs while a
+    60k-row test table stops fragmenting into 128 near-empty tasks."""
+    if buckets is not None:
+        return buckets
+    est: int | None = 0
+    for ds in datasets:
+        try:
+            n = ds._meta_count()
+        except Exception:  # pragma: no cover - internal-API drift guard
+            n = None
+        if n is None:
+            est = None
+            break
+        est += n
+    return default_buckets(floor=floor, est_rows=est)
 
 
 def with_bucket(
@@ -162,11 +210,12 @@ def with_bucket(
     """The standard co-group prologue: append ``hash(keys) % buckets``
     as ``name`` via one map_batches pass (every bucketed stage shares
     this; keep the contract in one place). ``buckets=None`` resolves to
-    :func:`default_buckets` — cluster-scaled."""
+    :func:`resolve_buckets` — cluster-scaled, rows-capped when the
+    input's row count is free from metadata."""
     from .._env import remote_env
 
     if buckets is None:
-        buckets = default_buckets()
+        buckets = resolve_buckets(None, ds)
     cols = list(on_cols)
 
     def fn(batch: pa.Table) -> pa.Table:

@@ -398,7 +398,7 @@ def grouped_collect(
     value_col: str,
     distinct: bool = True,
     sep: str = "|",
-    buckets: int = 64,
+    buckets: int | None = None,
 ):
     """Per-group collected values as a SORTED list column plus a joined
     string — the SQL ``list_sort(list(DISTINCT x))`` /

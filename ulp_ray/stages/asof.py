@@ -73,10 +73,9 @@ def asof_join(
         + [(c, types[c]) for c in l_payload + out_r_payload]
     )
 
-    from ._bucket import bucket_column, default_buckets
+    from ._bucket import bucket_column, resolve_buckets
 
-    if buckets is None:
-        buckets = default_buckets()
+    buckets = resolve_buckets(buckets, left, right)
 
     def pad_left(batch: pa.Table) -> pa.Table:
         cols = {on: batch[on], "__ts": batch[ts_col]}

@@ -158,10 +158,10 @@ def assemble_conversations(ds, buckets: int | None = None):
     ``conv_id, n_turns, turns: list<struct{turn_idx, role, text, tool}>``
     sorted by turn_idx — the export shape for conversation-level training
     data."""
-    from ._bucket import default_buckets
+    from ._bucket import resolve_buckets
 
-    if buckets is None:  # resolve HERE so the overflow guard below can
-        buckets = default_buckets()  # report the actual count
+    # resolve HERE so the overflow guard below can report the actual count
+    buckets = resolve_buckets(buckets, ds)
 
     struct_type = pa.struct(
         [

@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .._env import remote_env
-from ._bucket import bucket_column, default_buckets
+from ._bucket import bucket_column, resolve_buckets
 
 __all__ = ["interval_join"]
 
@@ -42,8 +42,7 @@ def interval_join(
     matching right columns (callers must pre-rename collisions)."""
     from ._bucket import arrow_type_of
 
-    if buckets is None:
-        buckets = default_buckets()
+    buckets = resolve_buckets(buckets, left, right)
     lcols = list(left.schema().names)
     rcols = list(right.schema().names)
     overlap = (set(lcols) & set(rcols)) - {on}

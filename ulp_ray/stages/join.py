@@ -98,10 +98,9 @@ def bucketed_hash_join(
                 "— cast one side before joining"
             )
 
-    from ._bucket import bucket_column, default_buckets
+    from ._bucket import bucket_column, resolve_buckets
 
-    if buckets is None:
-        buckets = default_buckets(32)
+    buckets = resolve_buckets(buckets, left, right, floor=32)
 
     def add_bucket(side: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -188,10 +187,9 @@ def _bucketed_membership_join(
     bucket decides membership. ``keep_matched`` selects semi (True) vs
     anti (False); ``null_matches_null`` controls whether a null left
     key counts as present when the right side holds a null key."""
-    from ._bucket import default_buckets
+    from ._bucket import resolve_buckets
 
-    if buckets is None:
-        buckets = default_buckets()
+    buckets = resolve_buckets(buckets, left, right)
     rkey = right_on or on
     lt = dict(zip(left.schema().names, left.schema().types))
     rt = dict(zip(right.schema().names, right.schema().types))
