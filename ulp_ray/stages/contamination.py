@@ -2,15 +2,25 @@
 probe string (verbatim benchmark questions/answers) as substrings.
 
 The decontamination shape used by LLM training-data pipelines: the
-probe set is SMALL relative to the corpus (a benchmark suite — 10³-10⁵
-strings), so it broadcasts (``ray.put`` once, fetched once per worker
-process) and the corpus STREAMS — one RE2 pass per batch, never a
-shuffle. The alternation of all probes compiles to a single automaton
-(RE2 is linear-time in text length regardless of probe count), cached
-per worker keyed by the broadcast ref.
+probe set is SMALL relative to the corpus (a benchmark suite — 10³ to
+a few 10⁴ strings), so it broadcasts (``ray.put`` once, fetched and
+preprocessed once per worker process) and the corpus STREAMS — one
+multi-substring scan per batch, never a shuffle.
 
-For probe sets too large to compile into one automaton, the scale path
-is the n-gram join (:func:`contaminated_ids_ngram` /
+The scan is polars' ``str.contains_any`` — a Rust Aho-Corasick
+automaton over the literal probes. The automaton itself is rebuilt per
+batch (polars exposes no persistent handle), which is measured and
+cheap: build 7 ms at 10³ probes / 93 ms at 10⁴ (scan ~8-15 µs/doc), so
+at block-size batches (10⁵ docs) the build is <10 % of the scan. The
+alternative everyone reaches for first — one RE2 alternation via
+``pc.match_substring_regex`` — compiles the pattern per batch at
+5.9 s/10³ probes, 94 s/10⁴, and refuses >~3 MB patterns outright
+("pattern too large"); it survives only as the no-polars fallback and
+is why this module is NOT regex-based (numbers: BASELINE.md
+optimization log, round 4).
+
+Above ~10⁴ probes the per-batch automaton build stops amortizing; the
+scale path is the n-gram join (:func:`contaminated_ids_ngram` /
 :func:`drop_contaminated_ngram`): shingle BOTH sides into word-n-grams
 and ``bucketed_semi_join`` doc n-grams against probe n-grams — the
 probe set stays a Dataset end to end, only fixed-width (id, gram) rows
@@ -37,17 +47,49 @@ __all__ = [
     "drop_contaminated_ngram",
 ]
 
-# per-worker compiled-pattern cache, keyed by broadcast ref (one compile
-# per worker process, not per batch)
-_PATTERN_CACHE: dict[str, str] = {}
+# per-worker probe cache, keyed by broadcast ref: the ray.get fetch and
+# the probe-list preprocessing (sort, and the regex escape+join when on
+# the no-polars fallback) run once per worker process, not per batch
+_PROBE_CACHE: dict[str, tuple] = {}
+
+import os as _os
+
+# same single-thread pin as _bucket.py (must precede the first polars
+# import in the process; N workers × full rayon pools oversubscribe)
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
+try:
+    import polars as _pl  # Aho-Corasick contains_any — the fast path
+
+    _HAS_POLARS = True
+except ImportError:  # pragma: no cover - polars is baked into the env
+    _HAS_POLARS = False
 
 
 def _probe_pattern(probes: list[str]) -> str:
     """One RE2 alternation matching any probe verbatim (longest first so
-    a probe that prefixes another still matches the longer form)."""
+    a probe that prefixes another still matches the longer form) — the
+    no-polars fallback only; see the module docstring for why this is
+    ~90-300× slower than the Aho-Corasick path and caps out near 10³
+    probes."""
     if not probes:
         raise ValueError("probes must be non-empty")
     return "|".join(re.escape(p) for p in sorted(probes, key=len, reverse=True))
+
+
+def _fetch_probes(pattern_ref) -> tuple:
+    """Once per worker: fetch the broadcast probe list and preprocess it
+    for the scan path (probe list for Aho-Corasick; escaped alternation
+    for the regex fallback)."""
+    import ray
+
+    key = pattern_ref.hex()
+    cached = _PROBE_CACHE.get(key)
+    if cached is None:
+        probes = ray.get(pattern_ref)
+        cached = (probes,) if _HAS_POLARS else (_probe_pattern(probes),)
+        _PROBE_CACHE[key] = cached
+    return cached
 
 
 def flag_contaminated(
@@ -60,15 +102,20 @@ def flag_contaminated(
     as a substring? Null text stays null (SQL ``LIKE`` semantics)."""
     import ray
 
-    pattern_ref = ray.put(_probe_pattern(probes))
+    if not probes:
+        raise ValueError("probes must be non-empty")
+    probes_ref = ray.put(list(probes))
 
     def flag(batch: pa.Table) -> pa.Table:
-        key = pattern_ref.hex()
-        pattern = _PATTERN_CACHE.get(key)
-        if pattern is None:
-            pattern = ray.get(pattern_ref)
-            _PATTERN_CACHE[key] = pattern
-        hit = pc.match_substring_regex(batch[text_col], pattern)
+        (prep,) = _fetch_probes(probes_ref)
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if _HAS_POLARS:
+            hit_pl = _pl.from_arrow(col).str.contains_any(prep)
+            hit = hit_pl.to_arrow().cast(pa.bool_())
+        else:  # pragma: no cover - polars is baked into the env
+            hit = pc.match_substring_regex(col, prep)
         return batch.append_column(out_col, hit)
 
     return ds.map_batches(flag, batch_format="pyarrow", **remote_env())
