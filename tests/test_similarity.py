@@ -97,3 +97,53 @@ def test_ann_topk_ivf_bounded_callbacks_100k(ray_session):
     )
     top1 = {r["query_id"]: r["vec_id"] for r in got.to_pylist() if r["rank"] == 0}
     assert top1 == {0: 5, 1: 500}  # self-match survives auto n_lists (√N ≈ 317)
+
+
+def test_codebook_sample_spreads_over_sorted_corpus(ray_session):
+    """VERDICT r3 item 3: codebook/centroid init must sample across the
+    WHOLE corpus, not the head — on a corpus sorted by source, every
+    source must appear in the sample, and the resulting IVF codebook
+    must place lists in every source's region (head sampling saw only
+    source 0 and left tail sources with no nearby centroid)."""
+    import ray.data
+
+    from ulp_ray.stages.similarity import _sample_vectors, build_ivf_codebook
+
+    rng = np.random.default_rng(3)
+    # four well-separated source clusters, corpus ORDERED by source
+    centers = np.eye(4, dtype=np.float32) * 10
+    mats, sources = [], []
+    for s in range(4):
+        mats.append(centers[s][None, :].repeat(500, axis=0)
+                    + rng.standard_normal((500, 4)).astype(np.float32) * 0.1)
+        sources += [s] * 500
+    mat = np.concatenate(mats)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(2000), pa.int64()),
+            "source": pa.array(sources, pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1), pa.float32()), 4
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    # the sample itself covers all sources (hash-keyed and keyless paths)
+    for key in ("vec_id", None):
+        rows = _sample_vectors(ds, 200, key, seed=5)
+        assert len(rows) == 200
+        seen = {r["source"] for r in rows}
+        assert seen == {0, 1, 2, 3}, f"sample_key={key} missed sources {seen}"
+
+    # and the codebook has a centroid near every source's direction
+    cent = build_ivf_codebook(
+        ds, n_lists=4, sample_rows=200, sample_key="vec_id"
+    )
+    unit = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    near = (unit @ cent.T).max(axis=1)  # best cosine per source direction
+    assert (near > 0.95).all(), near
+
+    # tiny corpora short-circuit to take_all (no count/sample machinery)
+    small = ray.data.from_arrow(t.slice(0, 50))
+    assert len(_sample_vectors(small, 200, "vec_id", seed=5)) == 50

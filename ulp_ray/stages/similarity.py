@@ -117,6 +117,63 @@ def _merge_topk_partials(
     )
 
 
+def _kmeanspp_init(v: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
+    """k-means++ seeding over the (already normalized) driver-side
+    sample: each next centroid is drawn with probability ∝ squared
+    cosine distance to the nearest chosen one. O(sample × k) — trivial
+    at sample sizes — and avoids the uniform-init failure mode where
+    two seeds land in one dense cluster and a whole region gets no
+    centroid (IVF lists then imbalance exactly like the head-sampling
+    bias this module just removed)."""
+    n = len(v)
+    cent = np.empty((k, v.shape[1]), dtype=v.dtype)
+    cent[0] = v[rng.integers(n)]
+    # squared cosine distance: 2 - 2·cos on unit vectors, floored at 0
+    d2 = np.maximum(2.0 - 2.0 * (v @ cent[0]), 0.0)
+    for i in range(1, k):
+        total = d2.sum()
+        if total <= 0:  # all points coincide with chosen centroids
+            cent[i:] = v[rng.choice(n, k - i)]
+            break
+        cent[i] = v[rng.choice(n, p=d2 / total)]
+        d2 = np.minimum(d2, np.maximum(2.0 - 2.0 * (v @ cent[i]), 0.0))
+    return cent
+
+
+def _sample_vectors(ds, sample_rows: int, sample_key: str | None, seed: int):
+    """Corpus-spread driver-side sample for codebook/centroid init.
+
+    Head sampling (``limit(n).take_all()``) is biased on any corpus
+    sorted or partitioned by source — the codebook never sees tail
+    sources, skewing IVF lists (VERDICT r3 item 3). Rows are instead
+    drawn across the WHOLE corpus: hash-threshold on ``sample_key``
+    when given (:func:`~ulp_ray.stages.split.deterministic_sample` —
+    stable across runs/retries), else a seeded per-row Bernoulli
+    ``random_sample``. One ``ds.count()`` sizes the fraction (free from
+    parquet metadata on untransformed reads; one streaming pass
+    otherwise), and the modest 1.25× oversample is thinned in-memory
+    with a seeded rng — never by ``limit()``, which would cut the
+    corpus tail again."""
+    total = ds.count()
+    if total <= sample_rows:
+        return ds.take_all()
+    frac = min(1.0, 1.25 * sample_rows / total)
+    if sample_key is not None:
+        from .split import deterministic_sample
+
+        sampled = deterministic_sample(ds, sample_key, frac, salt=seed)
+    else:
+        sampled = ds.random_sample(frac, seed=seed)
+    rows = sampled.take_all()
+    if len(rows) <= sample_rows:
+        # hash skew / duplicate keys under-filled the oversample: the
+        # spread sample is still better than a head top-up
+        return rows if rows else ds.limit(sample_rows).take_all()
+    rng = np.random.default_rng(seed)
+    keep = rng.choice(len(rows), sample_rows, replace=False)
+    return [rows[i] for i in sorted(keep)]
+
+
 def build_ivf_codebook(
     ds,
     n_lists: int = 16,
@@ -124,14 +181,18 @@ def build_ivf_codebook(
     sample_rows: int = 4096,
     iters: int = 8,
     seed: int = 5,
+    sample_key: str | None = None,
 ) -> np.ndarray:
-    """k-means-lite codebook from a driver-side sample (normalized)."""
-    sample = ds.limit(sample_rows).take_all()
+    """k-means-lite codebook from a corpus-spread driver-side sample
+    (normalized). Pass ``sample_key`` (a unique-ish id column) for a
+    retry-stable hash sample; without it the sample is a seeded
+    Bernoulli draw."""
+    sample = _sample_vectors(ds, sample_rows, sample_key, seed)
     v = _normalize(
         np.array([r[vec_col] for r in sample], dtype=np.float32)
     )
     rng = np.random.default_rng(seed)
-    cent = v[rng.choice(len(v), min(n_lists, len(v)), replace=False)]
+    cent = _kmeanspp_init(v, min(n_lists, len(v)), rng)
     for _ in range(iters):
         assign = (v @ cent.T).argmax(axis=1)
         for c in range(len(cent)):
@@ -149,6 +210,7 @@ def kmeans(
     vec_col: str = "embedding",
     sample_rows: int = 4096,
     seed: int = 5,
+    sample_key: str | None = None,
 ) -> np.ndarray:
     """Distributed spherical k-means (the iterative-algorithm shape:
     broadcast state → mergeable per-batch partials → driver fold →
@@ -157,16 +219,18 @@ def kmeans(
     Each iteration broadcasts the (k × dim) centroids once (``ray.put``);
     every batch emits ONE partial row — per-cluster vector sums + counts
     — so the exchange per iteration is O(blocks × k × dim) floats, never
-    the corpus. Deterministic: centroids init from the first
-    ``sample_rows`` rows with a seeded shuffle, ties in assignment break
-    toward the lower cluster id (argmax). Returns the final normalized
-    centroid matrix; use :func:`assign_clusters` for per-row labels."""
+    the corpus. Deterministic: centroids init from a corpus-spread
+    seeded sample (:func:`_sample_vectors` — head sampling would bias
+    the init on source-sorted corpora; pass ``sample_key`` for a
+    retry-stable hash sample), ties in assignment break toward the
+    lower cluster id (argmax). Returns the final normalized centroid
+    matrix; use :func:`assign_clusters` for per-row labels."""
     import ray
 
-    init = ds.limit(sample_rows).take_all()
+    init = _sample_vectors(ds, sample_rows, sample_key, seed)
     v0 = _normalize(np.array([r[vec_col] for r in init], dtype=np.float64))
     rng = np.random.default_rng(seed)
-    cent = v0[rng.choice(len(v0), min(k, len(v0)), replace=False)]
+    cent = _kmeanspp_init(v0, min(k, len(v0)), rng)
 
     for _ in range(iters):
         cent_ref = ray.put(cent)
@@ -257,7 +321,11 @@ def ann_topk_ivf(
     if n_lists is None:
         n_lists = max(16, int(np.ceil(np.sqrt(max(ds.count(), 1)))))
     cent = build_ivf_codebook(
-        ds, n_lists=n_lists, vec_col=vec_col, sample_rows=max(4096, 8 * n_lists)
+        ds,
+        n_lists=n_lists,
+        vec_col=vec_col,
+        sample_rows=max(4096, 8 * n_lists),
+        sample_key=id_col,
     )
     q32 = _normalize(np.asarray(queries, dtype=np.float32))
     probes = np.argsort(-(q32 @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
