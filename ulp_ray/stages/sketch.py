@@ -27,6 +27,7 @@ from .._env import remote_env
 
 __all__ = [
     "approx_distinct",
+    "approx_distinct_grouped",
     "hll_partial",
     "hll_estimate",
     "grouped_quantile_sketch",
@@ -37,22 +38,27 @@ def _hash_u64(arr: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(arr, hash_key="ulp_ray_sketch16").astype(np.uint64)
 
 
-def hll_partial(values: np.ndarray, p: int = 12) -> np.ndarray:
-    """One HLL register array (uint8[2^p]) from a value array."""
-    m = 1 << p
+def _reg_rank(values: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-value HLL (register index, rank): top ``p`` hash bits pick the
+    register, rank = leading zeros of the remaining bits + 1. Shared by
+    the global (dense register array) and grouped (sparse rows) paths so
+    their estimates are bit-identical on the same column."""
     h = _hash_u64(np.asarray(values, dtype=object))
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad low bits
     # rank = leading zeros of the remaining 64-p bits + 1
     lz = np.zeros(len(h), dtype=np.uint8)
-    cur = rest.copy()
-    mask = np.uint64(1) << np.uint64(63)
-    # vectorized leading-zero count via float log2 on the top bits
-    nz = cur != 0
-    lz[nz] = (63 - np.floor(np.log2(cur[nz].astype(np.float64))).astype(np.int64)).astype(
-        np.uint8
-    )
-    rank = lz + 1
+    nz = rest != 0
+    lz[nz] = (
+        63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+    ).astype(np.uint8)
+    return idx, lz + 1
+
+
+def hll_partial(values: np.ndarray, p: int = 12) -> np.ndarray:
+    """One HLL register array (uint8[2^p]) from a value array."""
+    m = 1 << p
+    idx, rank = _reg_rank(values, p)
     regs = np.zeros(m, dtype=np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs
@@ -71,6 +77,32 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+def _merge_key(tbl: pa.Table, key_list: list[str]) -> pa.Array:
+    """Sentinel-encoded string merge key over the key columns, built
+    from the ARROW representation on both sides so null keys survive
+    the pandas merge (NaN never equi-joins) and int-with-null key
+    columns can't desync between a null-free batch (int64) and a
+    broadcast side (float64 after to_pandas). Each part is
+    LENGTH-PREFIXED ("<len>:<value>", null → "N") so key values
+    containing the field separator — or a value literally equal to
+    a null sentinel — cannot make two distinct key tuples collide."""
+    import pyarrow.compute as pc
+
+    parts = []
+    for k in key_list:
+        col = tbl[k]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sv = pc.cast(col, pa.string())
+        enc = pc.binary_join_element_wise(
+            pc.cast(pc.utf8_length(sv), pa.string()), sv, ":"
+        )
+        parts.append(pc.fill_null(enc, "N"))
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(*parts, "\x1f")
+
+
 def approx_distinct(ds, col: str, p: int = 12) -> int:
     """Approximate COUNT(DISTINCT col): per-batch HLL partials, max-merged
     on the driver (one 4 KiB register array per batch crosses the wire)."""
@@ -87,6 +119,108 @@ def approx_distinct(ds, col: str, p: int = 12) -> int:
     ).take_all():
         merged = np.maximum(merged, np.frombuffer(row["regs"], dtype=np.uint8))
     return round(hll_estimate(merged))
+
+
+def approx_distinct_grouped(
+    ds,
+    keys: list[str],
+    col: str,
+    p: int = 12,
+    out_col: str = "approx_distinct",
+    buckets: int | None = None,
+):
+    """Per-key approximate COUNT(DISTINCT col) — the grouped HLL
+    (VERDICT r3 item 5; SQL semantics: null values don't count, null
+    keys form their own group).
+
+    Sketch rows are SPARSE: each block emits one ``(key, register,
+    max rank)`` row per distinct (key, register) pair it saw — a key
+    with 10 values ships ≤10 fixed-width rows, never a dense 2^p
+    register block, so the exchange is O(Σ min(group_rows, 2^p)) per
+    block, the same class as the vocab/DF folds. A per-key sentinel row
+    keeps all-null-value groups alive (estimate 0). Registers max-merge
+    in a bucketed co-group (one vectorized pandas body per bucket, no
+    per-key Python loop) and the estimator there is bit-identical to
+    :func:`hll_estimate` — same hash, same bias/range corrections.
+    Error ≈ 1.04/√(2^p) (~1.6 % at the default p=12).
+
+    Returns a Dataset ``keys + [out_col]`` (int64)."""
+    import pyarrow.compute as pc
+
+    from ._bucket import with_bucket
+
+    key_list = list(keys)
+    m = 1 << p
+    reg_t = pa.int32()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.select(key_list + [col])
+        batch = batch.append_column("__mk", _merge_key(batch, key_list))
+        schema_cols = ["__mk"] + key_list
+        # sentinel row per key group present in the block: groups whose
+        # values are ALL null still reach the estimator (→ 0)
+        sent = batch.select(schema_cols).group_by(schema_cols).aggregate([])
+        sent = sent.append_column("__reg", pa.array([-1] * len(sent), reg_t))
+        sent = sent.append_column("__rank", pa.array([0] * len(sent), reg_t))
+        nn = batch.filter(pc.is_valid(batch[col]))
+        if len(nn):
+            idx, rank = _reg_rank(nn[col].to_numpy(zero_copy_only=False), p)
+            t = pa.table(
+                {
+                    **{c: nn[c] for c in schema_cols},
+                    "__reg": pa.array(idx.astype(np.int32), reg_t),
+                    "__rank": pa.array(rank.astype(np.int32), reg_t),
+                }
+            )
+            # C-level in-block dedup: one row per (key, register), max rank
+            t = (
+                t.group_by(schema_cols + ["__reg"])
+                .aggregate([("__rank", "max")])
+                .rename_columns(schema_cols + ["__reg", "__rank"])
+            )
+            sent = pa.concat_tables([sent.select(t.column_names), t])
+        return sent
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, **remote_env()
+    )
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized body per bucket: max-merge registers, then the
+        # HLL estimator with small/large-range corrections (identical
+        # math to hll_estimate, applied column-wise)
+        keys_df = g.drop_duplicates("__mk").set_index("__mk")[key_list]
+        real = g[g["__reg"] >= 0]
+        merged = (
+            real.groupby(["__mk", "__reg"], sort=False)["__rank"]
+            .max()
+            .reset_index()
+        )
+        merged["pw"] = np.power(2.0, -merged["__rank"].to_numpy(np.float64))
+        per = merged.groupby("__mk", sort=True).agg(
+            nnz=("__reg", "size"), spow=("pw", "sum")
+        )
+        per = per.reindex(keys_df.index.sort_values(), fill_value=0)
+        nnz = per["nnz"].to_numpy(np.int64)
+        S = per["spow"].to_numpy(np.float64) + (m - nnz)  # empty regs → 2^0
+        est = alpha * m * m / S
+        zeros = m - nnz
+        small = (est <= 2.5 * m) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            est = np.where(small, m * np.log(m / np.maximum(zeros, 1)), est)
+        large = ~small & (est > (1 << 32) / 30.0)
+        est = np.where(large, -(1 << 32) * np.log(1 - est / (1 << 32)), est)
+        out = keys_df.loc[per.index].reset_index(drop=True)
+        out[out_col] = np.round(est).astype(np.int64)
+        return out
+
+    return (
+        with_bucket(partials, ["__mk"], buckets)
+        .groupby("__bucket")
+        .map_groups(estimate, batch_format="pandas", **remote_env())
+    )
 
 
 def grouped_quantile_sketch(
@@ -117,27 +251,7 @@ def grouped_quantile_sketch(
     name = out_col or f"q{q}"
 
     def _mk_arrow(tbl: pa.Table) -> pa.Array:
-        """Sentinel-encoded string merge key over the key columns, built
-        from the ARROW representation on both sides so null keys survive
-        the pandas merge (NaN never equi-joins) and int-with-null key
-        columns can't desync between a null-free batch (int64) and the
-        broadcast bounds (float64 after to_pandas). Each part is
-        LENGTH-PREFIXED ("<len>:<value>", null → "N") so key values
-        containing the field separator — or a value literally equal to
-        a null sentinel — cannot make two distinct key tuples collide."""
-        parts = []
-        for k in key_list:
-            col = tbl[k]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            sv = pc.cast(col, pa.string())
-            enc = pc.binary_join_element_wise(
-                pc.cast(pc.utf8_length(sv), pa.string()), sv, ":"
-            )
-            parts.append(pc.fill_null(enc, "N"))
-        if len(parts) == 1:
-            return parts[0]
-        return pc.binary_join_element_wise(*parts, "\x1f")
+        return _merge_key(tbl, key_list)
 
     def minmax_partial(batch: pa.Table) -> pa.Table:
         batch = batch.select(key_list + [value_col])
