@@ -264,6 +264,106 @@ def test_hash_inputs_false_skips_lineage_hashes(ray_session, tmp_path_factory):
     assert audit_run(out)["ok"]  # empty dict → hash step skipped
 
 
+def test_transient_fault_retries_and_completes(ray_session, tmp_path_factory):
+    """Sink retry policy (the bounded analog of the reference's ES
+    bulk-rejection retry loop, src/elastic.rs:124-151): a TRANSIENT
+    application-level failure inside the fused read→parse→write task is
+    retried by Ray when ``sink_retry_exceptions=True`` and the run
+    completes — safe because the sink layout is idempotent
+    (deterministic filenames + OVERWRITE)."""
+    import pyarrow.compute as _pc  # noqa: F401  (keep import local to test)
+
+    d = str(tmp_path_factory.mktemp("flaky_in"))
+    write_transcripts(d, 1_000, n_files=2)
+    out = str(tmp_path_factory.mktemp("flaky_run"))
+    sentinel = os.path.join(str(tmp_path_factory.mktemp("flaky_s")), "tripped")
+
+    def flaky_pre(batch):
+        # fails exactly once (first task to arrive), then heals —
+        # single-node test stand-in for an object-store hiccup
+        if not os.path.exists(sentinel):
+            open(sentinel, "w").close()
+            raise RuntimeError("transient fault")
+        return batch
+
+    res = run_pipeline(
+        d, out, partitions=1, pre_fn=flaky_pre,
+        sink_max_retries=3, sink_retry_exceptions=True,
+    )
+    assert res.rows_routed == 1_000 and res.partitions_run == 1
+    from ulp_ray.state.audit import audit_run
+
+    assert audit_run(out)["ok"]
+
+
+def test_poisoned_input_fails_loudly_then_resumes(ray_session, tmp_path_factory):
+    """A POISONED fragment (deterministic error) exhausts its retries and
+    fails its partition loudly; completed partitions keep their
+    manifests, and after the bad fragment is fixed a resumed run
+    recomputes ONLY the failed partition and the audit reconciles."""
+    import uuid
+
+    import pyarrow as pa2
+    import pyarrow.compute as pc2
+    import pyarrow.parquet as pq2
+
+    d = str(tmp_path_factory.mktemp("poison_in"))
+    write_transcripts(d, 1_000, n_files=4)
+    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    # files stripe files[i::2] → partition 1 owns files[1] and files[3];
+    # poison files[3] so partition 0 completes first
+    victim = files[3]
+    tbl = pq2.read_table(victim)
+    text = tbl["text"].to_pylist()
+    text[0] = "POISON-MARKER " + (text[0] or "")
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("text"), "text", pa2.array(text, pa2.string())
+    )
+    pq2.write_table(tbl, victim)
+
+    attempts_dir = str(tmp_path_factory.mktemp("poison_attempts"))
+
+    def poison_pre(batch):
+        if pc2.any(
+            pc2.match_substring(batch["text"], "POISON-MARKER")
+        ).as_py():
+            open(os.path.join(attempts_dir, uuid.uuid4().hex), "w").close()
+            raise ValueError("poisoned fragment")
+        return batch
+
+    out = str(tmp_path_factory.mktemp("poison_run"))
+    with pytest.raises(Exception, match="poisoned fragment"):
+        run_pipeline(
+            d, out, partitions=2, pre_fn=poison_pre,
+            sink_max_retries=2, sink_retry_exceptions=True,
+        )
+    # the deterministic failure was retried exactly max_retries times
+    assert len(os.listdir(attempts_dir)) == 1 + 2
+    # the partition that finished before the failure kept its manifest
+    from ulp_ray.state.manifest import load_completed
+
+    done = load_completed(out)
+    assert set(done) == {0}
+
+    # fix the bad fragment (restore clean content), resume: only the
+    # failed partition recomputes
+    fixed = tbl.set_column(
+        tbl.schema.get_field_index("text"),
+        "text",
+        pa2.array([t.replace("POISON-MARKER ", "") for t in text], pa2.string()),
+    )
+    pq2.write_table(fixed, victim)
+    res = run_pipeline(
+        d, out, partitions=2, pre_fn=poison_pre,
+        sink_max_retries=2, sink_retry_exceptions=True,
+    )
+    assert res.partitions_skipped == 1 and res.partitions_run == 1
+    assert res.rows_routed == 1_000
+    from ulp_ray.state.audit import audit_run
+
+    assert audit_run(out)["ok"]
+
+
 def test_audit_reconciles_appended_run(ray_session, tmp_path_factory):
     """audit_run still reconciles after an append (non-contiguous
     growth of the partition index set)."""

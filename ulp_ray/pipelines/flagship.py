@@ -108,6 +108,8 @@ def run_pipeline(
     text_col: str = "text",
     pre_fn=None,
     hash_inputs: bool = True,
+    sink_max_retries: int | None = None,
+    sink_retry_exceptions: bool | list | None = None,
 ) -> PipelineResult:
     """Run (or resume) the flagship pipeline over Parquet transcript files.
 
@@ -126,6 +128,22 @@ def run_pipeline(
     from a non-transcript table. Note: ``pre_fn`` is NOT fingerprintable
     (it's an arbitrary callable) — changing it between runs of the same
     out_dir requires ``resume=False``.
+
+    ``sink_max_retries`` / ``sink_retry_exceptions`` surface Ray's task
+    retry policy on the sink write stage (the analog of the reference's
+    ES bulk-rejection retry loop, ``src/elastic.rs:124-151`` — which
+    retries forever; here the knob is bounded and explicit). Ray's
+    default already retries worker/node deaths; pass
+    ``sink_retry_exceptions=True`` (or a list of exception types) to
+    also retry application-level write errors — transient filesystem /
+    object-store hiccups — ``sink_max_retries`` times. Retrying is safe
+    because the sink layout is idempotent: deterministic filenames +
+    OVERWRITE semantics mean a re-executed write task replaces its own
+    partial output. A POISONED input (deterministic parse/read error)
+    exhausts its retries and fails the partition loudly; completed
+    partitions keep their manifests, so the rerun after fixing the bad
+    fragment recomputes only the failed partition (fault-injection test
+    in tests/test_resume.py).
 
     ``out_dir`` layout is the durable contract (SURVEY.md §7.5)::
 
@@ -240,20 +258,35 @@ def run_pipeline(
         if os.path.isdir(sink_dir):
             shutil.rmtree(sink_dir)  # deterministic overwrite on retry
 
+        # the retry policy applies to the WHOLE partition pipeline, not
+        # just the final write: read→parse→enrich→write fuse into one
+        # task per file, so per-stage args must agree for the fusion to
+        # hold and for a retry to re-run the fused task end to end
+        # (idempotent: deterministic filenames + OVERWRITE)
+        stage_args = remote_env()
+        if sink_max_retries is not None:
+            stage_args["max_retries"] = sink_max_retries
+        if sink_retry_exceptions is not None:
+            stage_args["retry_exceptions"] = sink_retry_exceptions
+
         # 1 block per input file: keeps read→parse→enrich fused into a
         # single task per file (no intermediate plasma hop); file sizing is
         # the fixture/ingest side's job (~64k-512k rows per file)
         ds = ray.data.read_parquet(group, override_num_blocks=len(group))
         if pre_fn is not None:
-            ds = ds.map_batches(pre_fn, batch_format="pyarrow", **remote_env())
+            ds = ds.map_batches(pre_fn, batch_format="pyarrow", **stage_args)
         ds = ds.map_batches(
             parse_fn,
             batch_format="pyarrow",
             batch_size=batch_size,
             zero_copy_batch=True,
-            **remote_env(),
+            **stage_args,
         )
         if enrich_compute == "actors":
+            # actor pools don't take task retry args (`max_retries` is a
+            # task option; actors restart via their own policy) — the
+            # actor stage keeps Ray's actor-restart defaults and the
+            # retry knobs apply to the surrounding task stages
             ds = ds.map_batches(
                 Enricher,
                 fn_constructor_kwargs={"taxonomy_ref": taxonomy_ref},
@@ -267,12 +300,12 @@ def run_pipeline(
                 make_enrich_fn(taxonomy_ref),
                 batch_format="pyarrow",
                 batch_size=batch_size,
-                **remote_env(),
+                **stage_args,
             )
         ds.write_parquet(
             sink_dir,
             partition_cols=["route"],
-            ray_remote_args=remote_env(),
+            ray_remote_args=dict(stage_args),
             **overwrite_sink_args(),
         )
 
