@@ -88,6 +88,59 @@ def test_cli_ingest_and_compact(tmp_path):
     assert rep == {os.path.join("sinks", "partition=0", "route=x"): 1}
 
 
+def test_cli_status_and_clean(tmp_path):
+    """status/clean — the GET/DELETE /job analog (reference
+    src/api.rs:21-46). No Ray session needed: both read/delete only the
+    run directory. `clean` must refuse a directory without a run marker
+    so a mistyped --out can't delete a data directory."""
+    from ulp_ray.state.manifest import PartitionManifest, RunManifest
+
+    run_dir = str(tmp_path / "run1")
+    os.makedirs(run_dir)
+    for i in range(2):
+        PartitionManifest(
+            partition=i, input_fragments=[f"/in/f{i}.parquet"],
+            input_bytes=10, rows_in=100, rows_routed=100,
+            counts_sha256="x", duration_s=0.5, registry_version="v1",
+        ).write(run_dir)
+    # unfinished run: no run.json yet
+    st = json.loads(_cli("status", "--out", run_dir))
+    assert st["finished"] is False and st["partitions_completed"] == 2
+    assert st["rows_routed"] == 200 and "partitions" not in st
+
+    RunManifest(
+        run_id="r", registry_version="v1", n_partitions=2, completed=2,
+        rows_in=200, rows_routed=200,
+    ).write(run_dir)
+    st = json.loads(_cli("status", "--out", run_dir, "--partitions"))
+    assert st["finished"] is True and len(st["partitions"]) == 2
+    assert st["disk_files"] >= 3 and st["disk_bytes"] > 0
+
+    # clean refuses a non-run directory (exit 2, dir untouched) ...
+    not_a_run = tmp_path / "precious_data"
+    not_a_run.mkdir()
+    (not_a_run / "keep.txt").write_text("do not delete")
+    r = subprocess.run(
+        [sys.executable, "-m", "ulp_ray", "clean", "--out", str(not_a_run)],
+        cwd=REPO, capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 2 and "refusing" in r.stderr
+    assert (not_a_run / "keep.txt").exists()
+    # ... unless forced
+    rep = json.loads(_cli("clean", "--out", str(not_a_run), "--force"))
+    assert rep["deleted"] and not not_a_run.exists()
+
+    # clean deletes a real run dir and status then 404s
+    rep = json.loads(_cli("clean", "--out", run_dir))
+    assert rep["deleted"] and rep["disk_files"] >= 3
+    assert not os.path.exists(run_dir)
+    r = subprocess.run(
+        [sys.executable, "-m", "ulp_ray", "status", "--out", run_dir],
+        cwd=REPO, capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 2 and "no such run" in r.stderr
+
+
 def test_cli_curate_subprocess(tmp_path):
     """The curate subcommand runs the curation pipeline end-to-end in a
     fresh process (own Ray session) and writes curated/ + report.json."""

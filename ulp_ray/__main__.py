@@ -9,6 +9,8 @@ one resumable command, suitable for ``ray job submit``:
     python -m ulp_ray ingest --input 'job/*.data' --out /path/ingest1 \
         --route-template 'evt_{{kind}}'              # ulp NDJSON interop
     python -m ulp_ray compact --out /path/run1       # merge small sink files
+    python -m ulp_ray status  --out /path/run1       # GET /job analog
+    python -m ulp_ray clean   --out /path/run1       # DELETE /job analog
 
 ``resume`` is ``run`` with the checkpoint scan enabled by default —
 completed partitions (per ``_manifest/partition=<i>.json``) are skipped;
@@ -85,6 +87,25 @@ def main(argv: list[str] | None = None) -> int:
         help="index-pattern route template, e.g. 'evt_{{kind}}'",
     )
     sp.add_argument("--num-cpus", type=int, default=None)
+    sp = sub.add_parser(
+        "status", help="print a run directory's manifest state (GET /job analog)"
+    )
+    sp.add_argument("--out", required=True)
+    sp.add_argument(
+        "--partitions",
+        dest="show_partitions",
+        action="store_true",
+        help="include the per-partition table (can be long)",
+    )
+    sp = sub.add_parser(
+        "clean", help="delete a run directory safely (DELETE /job analog)"
+    )
+    sp.add_argument("--out", required=True)
+    sp.add_argument(
+        "--force",
+        action="store_true",
+        help="delete even if --out lacks a run marker (DANGEROUS)",
+    )
     sp = sub.add_parser("compact", help="merge a finished run's small sink files")
     sp.add_argument("--out", required=True)
     sp.add_argument("--target-rows", type=int, default=1_000_000)
@@ -121,6 +142,30 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--num-cpus", type=int, default=None)
 
     args = p.parse_args(argv)
+
+    if args.cmd == "status":
+        from ulp_ray.state.jobs import run_status
+
+        try:
+            report = run_status(args.out)
+        except (FileNotFoundError, ValueError) as e:
+            print(json.dumps({"error": str(e)}), file=sys.stderr)
+            return 2
+        if not args.show_partitions:
+            report.pop("partitions")
+        print(json.dumps(report))
+        return 0
+
+    if args.cmd == "clean":
+        from ulp_ray.state.jobs import clean_run
+
+        try:
+            report = clean_run(args.out, force=args.force)
+        except (FileNotFoundError, ValueError) as e:
+            print(json.dumps({"error": str(e)}), file=sys.stderr)
+            return 2
+        print(json.dumps(report))
+        return 0
 
     if args.cmd == "compact":
         from ulp_ray.stages.compact import compact_run
