@@ -49,7 +49,17 @@ class _StageCkpt:
     flagship's partition-grain checkpointing covers the parse path).
     ``_``-prefixed files are ignored by the Parquet dataset reader, so
     the marker can live inside the stage dir (atomic rename puts it
-    there only after the data is durable)."""
+    there only after the data is durable).
+
+    Durability scope: the pre-marker fsync loop in :meth:`save` walks the
+    files the DRIVER can list, which makes the done-marker guarantee
+    hold on a single node or when ``root`` is driver-local. On a
+    multi-node cluster with shared storage, ``write_parquet`` tasks
+    write from workers and a driver-side fsync only forces the metadata
+    the driver's mount has seen — POSIX-complete for NFS close-to-open
+    semantics, but NOT a guarantee for arbitrary shared filesystems.
+    Object stores (S3 etc.) don't need it: their writes are atomic at
+    PUT granularity, so only the marker rename matters there."""
 
     def __init__(self, root: str, fingerprint: dict) -> None:
         self.root = root

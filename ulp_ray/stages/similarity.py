@@ -13,7 +13,6 @@
 
 from __future__ import annotations
 
-import heapq
 
 import numpy as np
 import pyarrow as pa
@@ -90,30 +89,42 @@ def _merge_topk_partials(
     partials: list[dict], id_col: str, k: int, round_scores: bool = False
 ) -> pa.Table:
     """Driver-side merge of per-batch top-k partial rows (tiny:
-    O(blocks × queries × k) rows ever reach the driver). Ties prefer the
-    smaller vec_id; output is (query_id, rank, id, score)."""
-    best: dict[int, list] = {}
-    for row in partials:
-        # heap on (score, -vec_id) so ties prefer smaller vec_id
-        qi = int(row["query_id"])
-        heapq.heappush(best.setdefault(qi, []), (row["score"], -int(row[id_col])))
-        if len(best[qi]) > k:
-            heapq.heappop(best[qi])
-    out = {"query_id": [], "rank": [], id_col: [], "score": []}
-    for qi in sorted(best):
-        ranked = sorted(best[qi], key=lambda t: (-t[0], -t[1]))
-        for r, (score, neg_id) in enumerate(ranked):
-            out["query_id"].append(qi)
-            out["rank"].append(r)
-            out[id_col].append(-neg_id)
-            out["score"].append(round(score, 6) if round_scores else score)
+    O(blocks × queries × k) rows ever reach the driver). One vectorized
+    pass: lexsort by (query, −score, id) then keep rank < k — ties
+    prefer the smaller vec_id; output is (query_id, rank, id, score)."""
+    schema = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("rank", pa.int64()),
+            (id_col, pa.int64()),
+            ("score", pa.float64()),
+        ]
+    )
+    if not partials:
+        return schema.empty_table()
+    tbl = pa.Table.from_pylist(partials)  # C-level row→column pivot
+    q = tbl["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    sc = tbl["score"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.lexsort((ids, -sc, q))  # last key is primary
+    q, ids, sc = q[order], ids[order], sc[order]
+    # rank within each query run: arange minus each run's base index
+    starts = np.flatnonzero(np.concatenate([[True], q[1:] != q[:-1]]))
+    base = np.zeros(len(q), dtype=np.int64)
+    base[starts] = np.arange(len(q), dtype=np.int64)[starts]
+    base = np.maximum.accumulate(base)
+    rank = np.arange(len(q), dtype=np.int64) - base
+    keep = rank < k
+    if round_scores:
+        sc = np.round(sc, 6)
     return pa.table(
         {
-            "query_id": pa.array(out["query_id"], pa.int64()),
-            "rank": pa.array(out["rank"], pa.int64()),
-            id_col: pa.array(out[id_col], pa.int64()),
-            "score": pa.array(out["score"], pa.float64()),
-        }
+            "query_id": pa.array(q[keep], pa.int64()),
+            "rank": pa.array(rank[keep], pa.int64()),
+            id_col: pa.array(ids[keep], pa.int64()),
+            "score": pa.array(sc[keep], pa.float64()),
+        },
+        schema=schema,
     )
 
 
