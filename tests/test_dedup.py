@@ -345,3 +345,69 @@ def test_simhash_vectorized_tokenizer_matches_python_split(ray_session):
 
     for i, t in enumerate(texts):
         assert got[i] == ref_sig(t), (i, t)
+
+
+def test_ngram_jaccard_pairs_exact_vs_bruteforce(ray_session):
+    """ngram_jaccard_pairs is EXACT: every pair the brute-force
+    all-pairs computation finds at the threshold must come back with the
+    same integer (inter_n, union_n) — the prefix filter may not drop
+    true pairs (completeness), and the verify may not pass false ones."""
+    import itertools
+
+    import ray.data
+
+    from ulp_ray.stages.dedup import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(8, 60))) for _ in range(80)]
+    # planted near-dups: copy + small perturbations of a few docs
+    texts += [texts[3], texts[7] + " extra token here", texts[11].replace("w0", "w1")]
+    # degenerate rows: empty, null, < n tokens
+    texts += ["", None, "one two"]
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    )
+    t = 0.7
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter_n"], r["union_n"])
+        for r in ngram_jaccard_pairs(ds, n=3, threshold=t).take_all()
+    }
+
+    def gram_set(s):
+        toks = (s or "").split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = [gram_set(s) for s in texts]
+    want = {}
+    for a, b in itertools.combinations(ids, 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        if inter >= t * union:
+            want[(a, b)] = (inter, union)
+    assert want, "fixture must plant at least one near-dup pair"
+    assert got == want
+
+
+def test_ngram_jaccard_pairs_threshold_one(ray_session):
+    """threshold=1.0 keeps only identical n-gram sets (prefix length
+    still ≥ 1 — the ⌈t·|S|⌉ arithmetic must not produce an empty
+    prefix)."""
+    import ray.data
+
+    from ulp_ray.stages.dedup import ngram_jaccard_pairs
+
+    texts = ["a b c d e", "a b c d e", "a b c d x", "p q r s t"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)}
+        )
+    )
+    out = ngram_jaccard_pairs(ds, n=3, threshold=1.0).take_all()
+    assert [(r["id_a"], r["id_b"], r["inter_n"], r["union_n"]) for r in out] == [
+        (0, 1, 3, 3)
+    ]

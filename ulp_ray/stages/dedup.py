@@ -12,6 +12,9 @@ are the operators a 100 TB corpus pipeline needs, each built Ray-Data-first:
   with banded blocking for hamming-distance ≤ k pairs.
 - :func:`ngram_jaccard` — exact n-gram Jaccard between two texts (the
   verifier used by the LSH paths; also exposed standalone).
+- :func:`ngram_jaccard_pairs` — EXACT word-n-gram Jaccard pairs over the
+  whole corpus via the all-pairs prefix filter (no sketch): the
+  value-checkable ground truth the MinHash/SimHash paths approximate.
 - :func:`embedding_neardup` — cosine near-duplicate pairs over an
   embedding column: broadcast normalized matrix + blocked matmul
   (exact), or random-hyperplane LSH bucketing (scale path).
@@ -40,6 +43,7 @@ __all__ = [
     "simhash_signatures",
     "simhash_candidates",
     "ngram_jaccard",
+    "ngram_jaccard_pairs",
     "embedding_neardup",
     "embedding_neardup_lsh",
 ]
@@ -737,3 +741,217 @@ def embedding_neardup_lsh(
         .groupby("bucket")
         .map_groups(verify, batch_format="pandas", **remote_env())
     )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (prefix-filtered all-pairs)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    buckets: int | None = None,
+):
+    """EXACT word-n-gram Jaccard near-dup pairs — the non-sketch member
+    of the dedup family (MinHash/SimHash estimate this set; here the
+    answer is exact and value-checkable against a SQL twin). Returns a
+    Dataset ``(id_a, id_b, inter_n, union_n)`` with one row per pair
+    whose distinct-n-gram Jaccard ``inter_n / union_n ≥ threshold``,
+    ``id_a < id_b``; the integer sizes ARE the contract (no float
+    column to drift).
+
+    Exactness at scale comes from the all-pairs prefix filter (Bayardo
+    et al. WWW'07 / ppjoin): under ANY global total order over n-grams,
+    two sets with J ≥ t share an element within the first
+    ``|S| − ⌈t·|S|⌉ + 1`` elements of each — so only those prefix
+    elements enter the inverted index, and candidate generation touches
+    ~(1−t)·Σ|S| index rows instead of Σ|S|. Hash order is the global
+    order here (rarest-first would prune harder but needs a DF pass;
+    at t = 0.8 the index is already 5× smaller than the full explode).
+
+    Stages (all fixed-width exchanges; raw text never shuffles):
+
+    1. per-block doc sets: distinct 64-bit n-gram hashes per doc,
+       C-level pair-dedup (:func:`~ulp_ray.stages._tokens
+       .distinct_pair_stats`), kept hash-sorted as one list column.
+    2. prefix explode → shard by hash (bounded shards) → one vectorized
+       self-merge per shard (the minhash LSH pair path's shape) →
+       global pair dedup.
+    3. verify: two bucketed hash joins co-locate each candidate with
+       both sorted sets; exact ``|A∩B|`` via ``np.intersect1d``
+       (``assume_unique``, C per pair) — pairs are prefix survivors,
+       so the per-pair loop is bounded by the true near-dup rate.
+
+    64-bit gram hashing can only MERGE two distinct n-grams (p ≈ m²/2⁶⁵
+    — ~3e−7 at a billion distinct grams); exact at test scale, <<1 gram
+    of perturbation at 100 TB. Docs with < n tokens have empty sets and
+    never pair. Hot-hash hazard shared with every inverted index: N
+    identical docs pair quadratically — run :func:`exact_dedup` first
+    (the curation pipeline's order).
+    """
+    import ray.data
+
+    from ._bucket import key_hash_u64
+    from ._tokens import distinct_pair_stats, flat_tokens, word_ngrams_flat
+    from .join import bucketed_hash_join
+
+    _out_schema = pa.schema(
+        [
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("inter_n", pa.int64()),
+            ("union_n", pa.int64()),
+        ]
+    )
+    _sets_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("__set", pa.large_list(pa.uint64())),
+            ("__size", pa.int64()),
+        ]
+    )
+
+    def doc_sets(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _sets_schema.empty_table()
+        flat, par = flat_tokens(batch[text_col])
+        grams, gpar = word_ngrams_flat(flat, par, n)
+        if len(grams) == 0:
+            return _sets_schema.empty_table()
+        h = key_hash_u64(grams)
+        # distinct_pair_stats returns value IDs into its uniq_vals — take
+        # the hashes back out and sort each doc's set ascending by hash
+        uniq_vals, prow, pvid, _ = distinct_pair_stats(gpar, h)
+        hset = np.asarray(uniq_vals, dtype=np.uint64)[pvid]
+        order = np.lexsort((hset, prow))
+        prow, hset = prow[order], hset[order]
+        counts = np.bincount(prow, minlength=len(batch)).astype(np.int64)
+        keep_rows = counts > 0  # < n tokens → empty set → never pairs
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        sets = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(hset, pa.uint64())
+        )
+        tbl = pa.table(
+            {
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "__set": sets,
+                "__size": pa.array(counts, pa.int64()),
+            },
+            schema=_sets_schema,
+        )
+        return tbl.filter(pa.array(keep_rows))
+
+    # the sets feed THREE consumers (prefix index + both verify-join
+    # sides) — materialize once (fixed-width uint64 lists, ~the text's
+    # size; spills if needed) instead of re-tokenizing the corpus 3×
+    sets_ds = ds.map_batches(
+        doc_sets, batch_format="pyarrow", **remote_env()
+    ).materialize()
+
+    # prefix length |S| − ⌈t·|S|⌉ + 1; the 1e-9 backs t·|S| off float
+    # representation error ONLY toward a LONGER prefix (extra candidates
+    # are verified away; a shorter prefix would silently drop true pairs)
+    def prefix_explode(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.schema(
+                [("__h", pa.uint64()), (id_col, pa.int64())]
+            ).empty_table()
+        sizes = batch["__size"].to_numpy(zero_copy_only=False)
+        plen = sizes - np.ceil(threshold * sizes - 1e-9).astype(np.int64) + 1
+        plen = np.clip(plen, 1, sizes)
+        col = batch["__set"].combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.uint64)
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        base = np.concatenate([[0], np.cumsum(plen)])[:-1]
+        idx = np.repeat(offs[:-1], plen) + (
+            np.arange(int(plen.sum()), dtype=np.int64) - np.repeat(base, plen)
+        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "__h": pa.array(flat[idx], pa.uint64()),
+                id_col: pa.array(np.repeat(ids, plen), pa.int64()),
+            }
+        )
+
+    n_shards = 64
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = pc.cast(
+            pc.bit_wise_and(batch["__h"], pa.scalar(n_shards - 1, pa.uint64())),
+            pa.int64(),
+        )
+        return batch.append_column("shard", shard)
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        df = g[["__h", id_col]]
+        m = df.merge(df, on="__h", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out = m.rename(
+            columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"}
+        )[["id_a", "id_b"]].drop_duplicates()
+        return out.astype("int64")
+
+    cand = (
+        sets_ds.map_batches(prefix_explode, batch_format="pyarrow", **remote_env())
+        .map_batches(add_shard, batch_format="pyarrow", **remote_env())
+        .groupby("shard")
+        .map_groups(shard_pairs, batch_format="pandas", **remote_env())
+    )
+    cand = _dedup_pair_rows(cand, ["id_a", "id_b"])
+
+    def sets_as(tag: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    f"id_{tag}": batch[id_col],
+                    f"__set_{tag}": batch["__set"],
+                    f"__size_{tag}": batch["__size"],
+                }
+            )
+
+        return fn
+
+    s_a = sets_ds.map_batches(sets_as("a"), batch_format="pyarrow", **remote_env())
+    s_b = sets_ds.map_batches(sets_as("b"), batch_format="pyarrow", **remote_env())
+    j1 = bucketed_hash_join(cand, s_a, on="id_a", buckets=buckets, how="inner")
+    j2 = bucketed_hash_join(j1, s_b, on="id_b", buckets=buckets, how="inner")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _out_schema.empty_table()
+        na = batch["__size_a"].to_numpy(zero_copy_only=False)
+        nb = batch["__size_b"].to_numpy(zero_copy_only=False)
+        sa = batch["__set_a"].to_pylist()
+        sb = batch["__set_b"].to_pylist()
+        inter = np.fromiter(
+            (
+                len(
+                    np.intersect1d(
+                        np.asarray(a, dtype=np.uint64),
+                        np.asarray(b, dtype=np.uint64),
+                        assume_unique=True,
+                    )
+                )
+                for a, b in zip(sa, sb)
+            ),
+            dtype=np.int64,
+            count=len(sa),
+        )
+        union = na + nb - inter
+        keep = inter >= threshold * union
+        return pa.table(
+            {
+                "id_a": pc.cast(batch["id_a"], pa.int64()),
+                "id_b": pc.cast(batch["id_b"], pa.int64()),
+                "inter_n": pa.array(inter, pa.int64()),
+                "union_n": pa.array(union, pa.int64()),
+            },
+            schema=_out_schema,
+        ).filter(pa.array(keep))
+
+    return j2.map_batches(verify, batch_format="pyarrow", **remote_env())
