@@ -145,6 +145,8 @@ def run_bench() -> dict:
         "rolling_sum_events",
         "vocabulary_docs",
         "doc_term_stats_docs",
+        "contamination_docs",
+        "ngram_jaccard_pairs_docs",
     ):
         if name not in qs:
             continue

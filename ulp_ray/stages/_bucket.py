@@ -191,7 +191,9 @@ def resolve_buckets(buckets: int | None, *datasets, floor: int = 64) -> int:
     60k-row test table stops fragmenting into 128 near-empty tasks."""
     if buckets is not None:
         return buckets
-    est: int | None = 0
+    # no datasets → no row information, NOT "zero rows" (est=0 would
+    # silently clamp every no-arg caller to the floor)
+    est: int | None = 0 if datasets else None
     for ds in datasets:
         try:
             n = ds._meta_count()
