@@ -793,11 +793,8 @@ def ngram_jaccard_pairs(
     identical docs pair quadratically — run :func:`exact_dedup` first
     (the curation pipeline's order).
     """
-    import ray.data
-
     from ._bucket import key_hash_u64
     from ._tokens import distinct_pair_stats, flat_tokens, word_ngrams_flat
-    from .join import bucketed_hash_join
 
     _out_schema = pa.schema(
         [
@@ -875,6 +872,7 @@ def ngram_jaccard_pairs(
             {
                 "__h": pa.array(flat[idx], pa.uint64()),
                 id_col: pa.array(np.repeat(ids, plen), pa.int64()),
+                "__sz": pa.array(np.repeat(sizes, plen), pa.int64()),
             }
         )
 
@@ -888,9 +886,16 @@ def ngram_jaccard_pairs(
         return batch.append_column("shard", shard)
 
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        df = g[["__h", id_col]]
+        df = g[["__h", id_col, "__sz"]]
         m = df.merge(df, on="__h", suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        # size filter (AllPairs): J ≥ t ⟹ |A∩B| ≥ t·max(|A|,|B|) and
+        # |A∩B| ≤ min(|A|,|B|) ⟹ min ≥ t·max — pairs with incompatible
+        # set sizes can't verify, so don't ship them to the joins (the
+        # hash-order prefix alone over-generates on skewed gram
+        # distributions; measured at sf0.1: 225k → far fewer candidates)
+        sa, sb = m["__sz_a"].to_numpy(), m["__sz_b"].to_numpy()
+        m = m[np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)]
         out = m.rename(
             columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"}
         )[["id_a", "id_b"]].drop_duplicates()
@@ -902,56 +907,148 @@ def ngram_jaccard_pairs(
         .groupby("shard")
         .map_groups(shard_pairs, batch_format="pandas", **remote_env())
     )
-    cand = _dedup_pair_rows(cand, ["id_a", "id_b"])
+    # verify in TWO fused co-groups (not four exchanges): each co-group
+    # unions the pair rows with the set rows under the same
+    # hash(id) % B bucketing, so pair dedup (duplicates of a pair share
+    # id_a → same bucket), set attach, and — in the second pass — the
+    # exact-intersection check all run inside one vectorized per-bucket
+    # body. The set payload is ONE binary blob per doc (the sorted
+    # uint64 set's raw bytes): pandas moves a bytes scalar by pointer
+    # but converts a list column to a Python list-of-lists.
+    from ._bucket import hash_u64, resolve_buckets
 
-    def sets_as(tag: str):
+    n_buckets = resolve_buckets(buckets, sets_ds)
+
+    def sets_payload(batch: pa.Table) -> pa.Table:
+        col = batch["__set"].combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.uint64)
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        blob = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            len(col),
+            [None, pa.py_buffer((offs * 8).tobytes()), pa.py_buffer(flat.tobytes())],
+        )
+        return pa.table(
+            {
+                "__sid": pc.cast(batch[id_col], pa.int64()),
+                "__blob": blob,
+                "__bsize": batch["__size"],
+            }
+        )
+
+    sets_pl = sets_ds.map_batches(sets_payload, batch_format="pyarrow", **remote_env())
+
+    def bucket_by(tbl_col: str):
         def fn(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    f"id_{tag}": batch[id_col],
-                    f"__set_{tag}": batch["__set"],
-                    f"__size_{tag}": batch["__size"],
-                }
-            )
+            ids = batch[tbl_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = (hash_u64(ids) % np.uint64(n_buckets)).astype(np.int64)
+            return batch.append_column("__bucket", pa.array(b))
 
         return fn
 
-    s_a = sets_ds.map_batches(sets_as("a"), batch_format="pyarrow", **remote_env())
-    s_b = sets_ds.map_batches(sets_as("b"), batch_format="pyarrow", **remote_env())
-    j1 = bucketed_hash_join(cand, s_a, on="id_a", buckets=buckets, how="inner")
-    j2 = bucketed_hash_join(j1, s_b, on="id_b", buckets=buckets, how="inner")
+    def _pad(ds_, cols: dict):
+        def fn(batch: pa.Table) -> pa.Table:
+            for name, typ in cols.items():
+                batch = batch.append_column(name, pa.nulls(len(batch), typ))
+            return batch
 
-    def verify(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return _out_schema.empty_table()
-        na = batch["__size_a"].to_numpy(zero_copy_only=False)
-        nb = batch["__size_b"].to_numpy(zero_copy_only=False)
-        sa = batch["__set_a"].to_pylist()
-        sb = batch["__set_b"].to_pylist()
+        return ds_.map_batches(fn, batch_format="pyarrow", **remote_env())
+
+    def _np_blobs(s: pd.Series) -> list:
+        return [
+            np.frombuffer(b, np.uint64) if b is not None else None for b in s
+        ]
+
+    # pass 1: co-locate pairs with set_a by hash(id_a); dedup pairs there
+    p1 = _pad(
+        cand.map_batches(bucket_by("id_a"), batch_format="pyarrow", **remote_env()),
+        {"__sid": pa.int64(), "__blob": pa.large_binary(), "__bsize": pa.int64()},
+    )
+    s1 = _pad(
+        sets_pl.map_batches(bucket_by("__sid"), batch_format="pyarrow", **remote_env()),
+        {"id_a": pa.int64(), "id_b": pa.int64()},
+    ).select_columns(p1.schema().names)  # column order must match for union
+
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = g[g["__sid"].isna()][["id_a", "id_b"]].drop_duplicates()
+        sets_ = g[~g["__sid"].isna()]
+        m = pairs.merge(
+            sets_[["__sid", "__blob", "__bsize"]].rename(
+                columns={"__sid": "id_a", "__blob": "__blob_a", "__bsize": "__size_a"}
+            ),
+            on="id_a",
+            how="inner",
+        )
+        m[["id_a", "id_b", "__size_a"]] = m[["id_a", "id_b", "__size_a"]].astype(
+            "int64"
+        )
+        return m
+
+    pa1 = (
+        p1.union(s1)
+        .groupby("__bucket")
+        .map_groups(attach_a, batch_format="pandas", **remote_env())
+    )
+
+    # pass 2: co-locate with set_b by hash(id_b); verify inside the bucket
+    p2 = _pad(
+        pa1.map_batches(bucket_by("id_b"), batch_format="pyarrow", **remote_env()),
+        {"__sid": pa.int64(), "__blob": pa.large_binary(), "__bsize": pa.int64()},
+    )
+    s2 = _pad(
+        sets_pl.map_batches(bucket_by("__sid"), batch_format="pyarrow", **remote_env()),
+        {
+            "id_a": pa.int64(),
+            "id_b": pa.int64(),
+            "__blob_a": pa.large_binary(),
+            "__size_a": pa.int64(),
+        },
+    ).select_columns(p2.schema().names)
+
+    def verify_b(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = g[g["__sid"].isna()]
+        sets_ = g[~g["__sid"].isna()]
+        m = pairs[["id_a", "id_b", "__blob_a", "__size_a"]].merge(
+            sets_[["__sid", "__blob", "__bsize"]].rename(
+                columns={"__sid": "id_b", "__blob": "__blob_b", "__bsize": "__size_b"}
+            ),
+            on="id_b",
+            how="inner",
+        )
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "inter_n": pd.Series([], dtype="int64"),
+                    "union_n": pd.Series([], dtype="int64"),
+                }
+            )
+        sa = _np_blobs(m["__blob_a"])
+        sb = _np_blobs(m["__blob_b"])
         inter = np.fromiter(
             (
-                len(
-                    np.intersect1d(
-                        np.asarray(a, dtype=np.uint64),
-                        np.asarray(b, dtype=np.uint64),
-                        assume_unique=True,
-                    )
-                )
+                len(np.intersect1d(a, b, assume_unique=True))
                 for a, b in zip(sa, sb)
             ),
             dtype=np.int64,
-            count=len(sa),
+            count=len(m),
         )
+        na = m["__size_a"].to_numpy(np.int64)
+        nb = m["__size_b"].to_numpy(np.int64)
         union = na + nb - inter
         keep = inter >= threshold * union
-        return pa.table(
+        return pd.DataFrame(
             {
-                "id_a": pc.cast(batch["id_a"], pa.int64()),
-                "id_b": pc.cast(batch["id_b"], pa.int64()),
-                "inter_n": pa.array(inter, pa.int64()),
-                "union_n": pa.array(union, pa.int64()),
-            },
-            schema=_out_schema,
-        ).filter(pa.array(keep))
+                "id_a": m["id_a"].to_numpy(np.int64)[keep],
+                "id_b": m["id_b"].to_numpy(np.int64)[keep],
+                "inter_n": inter[keep],
+                "union_n": union[keep],
+            }
+        )
 
-    return j2.map_batches(verify, batch_format="pyarrow", **remote_env())
+    return (
+        p2.union(s2)
+        .groupby("__bucket")
+        .map_groups(verify_b, batch_format="pandas", **remote_env())
+    )
