@@ -411,3 +411,20 @@ def test_ngram_jaccard_pairs_threshold_one(ray_session):
     assert [(r["id_a"], r["id_b"], r["inter_n"], r["union_n"]) for r in out] == [
         (0, 1, 3, 3)
     ]
+
+
+def test_ngram_jaccard_pairs_no_candidates(ray_session):
+    """Disjoint vocabularies → zero candidate pairs: the fused verify
+    must return an empty result, not crash on schema inference over the
+    empty candidate dataset (regression: p1.schema() is None)."""
+    import ray.data
+
+    from ulp_ray.stages.dedup import ngram_jaccard_pairs
+
+    texts = [" ".join(f"u{i}_{j}" for j in range(10)) for i in range(20)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(20), pa.int64()), "text": pa.array(texts)}
+        )
+    )
+    assert ngram_jaccard_pairs(ds, n=3, threshold=0.8).take_all() == []

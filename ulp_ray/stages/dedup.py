@@ -959,15 +959,24 @@ def ngram_jaccard_pairs(
             np.frombuffer(b, np.uint64) if b is not None else None for b in s
         ]
 
+    # static column orders for the unions: schema() inference on an
+    # EMPTY lazy dataset (zero candidates) returns None, so the order
+    # must not be derived at runtime
+    _STAGE1_COLS = ["id_a", "id_b", "__bucket", "__sid", "__blob", "__bsize"]
+    _STAGE2_COLS = [
+        "id_a", "id_b", "__blob_a", "__size_a",
+        "__bucket", "__sid", "__blob", "__bsize",
+    ]
+
     # pass 1: co-locate pairs with set_a by hash(id_a); dedup pairs there
     p1 = _pad(
         cand.map_batches(bucket_by("id_a"), batch_format="pyarrow", **remote_env()),
         {"__sid": pa.int64(), "__blob": pa.large_binary(), "__bsize": pa.int64()},
-    )
+    ).select_columns(_STAGE1_COLS)
     s1 = _pad(
         sets_pl.map_batches(bucket_by("__sid"), batch_format="pyarrow", **remote_env()),
         {"id_a": pa.int64(), "id_b": pa.int64()},
-    ).select_columns(p1.schema().names)  # column order must match for union
+    ).select_columns(_STAGE1_COLS)  # column order must match for union
 
     def attach_a(g: pd.DataFrame) -> pd.DataFrame:
         pairs = g[g["__sid"].isna()][["id_a", "id_b"]].drop_duplicates()
@@ -994,7 +1003,7 @@ def ngram_jaccard_pairs(
     p2 = _pad(
         pa1.map_batches(bucket_by("id_b"), batch_format="pyarrow", **remote_env()),
         {"__sid": pa.int64(), "__blob": pa.large_binary(), "__bsize": pa.int64()},
-    )
+    ).select_columns(_STAGE2_COLS)
     s2 = _pad(
         sets_pl.map_batches(bucket_by("__sid"), batch_format="pyarrow", **remote_env()),
         {
@@ -1003,7 +1012,7 @@ def ngram_jaccard_pairs(
             "__blob_a": pa.large_binary(),
             "__size_a": pa.int64(),
         },
-    ).select_columns(p2.schema().names)
+    ).select_columns(_STAGE2_COLS)
 
     def verify_b(g: pd.DataFrame) -> pd.DataFrame:
         pairs = g[g["__sid"].isna()]
