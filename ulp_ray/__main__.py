@@ -69,6 +69,19 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument(
             "--text-col", default="text", help="column the rules parse"
         )
+        sp.add_argument(
+            "--sink-retries",
+            type=int,
+            default=None,
+            help="Ray task retries for the fused partition pipeline "
+            "(idempotent: deterministic filenames + overwrite)",
+        )
+        sp.add_argument(
+            "--retry-app-errors",
+            action="store_true",
+            help="also retry application-level errors (transient "
+            "filesystem/object-store faults), not just worker deaths",
+        )
 
     add_common(sub.add_parser("run", help="run the flagship pipeline (fresh)"))
     add_common(sub.add_parser("resume", help="resume, skipping completed partitions"))
@@ -249,6 +262,8 @@ def main(argv: list[str] | None = None) -> int:
         resume=(args.cmd == "resume"),
         enrich_compute=args.enrich_compute,
         text_col=args.text_col,
+        sink_max_retries=args.sink_retries,
+        sink_retry_exceptions=args.retry_app_errors or None,
     )
     print(
         json.dumps(
