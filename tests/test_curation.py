@@ -236,3 +236,29 @@ def test_curation_out_dir_rerun_does_not_duplicate(ray_session, tmp_path):
         for f in _glob.glob(os.path.join(out, "curated", "*.parquet"))
     )
     assert rows == r2.rows_out == r1.rows_out
+
+
+def test_curation_exact_ngram_near_dup_method(ray_session, tmp_path):
+    """near_dup_method='exact_ngram' swaps the minhash sketch for the
+    EXACT prefix-filtered n-gram Jaccard pair finder: same survivor
+    rule, deterministic pair set, report records the method."""
+    import ray.data
+
+    ds = ray.data.from_arrow(_docs())
+    out = str(tmp_path / "curation_ngram")
+    curated, report, _ = curate_documents(
+        ds,
+        out_dir=out,
+        min_quality=0.2,
+        jaccard_threshold=0.6,
+        near_dup_method="exact_ngram",
+    )
+    ids = sorted(r["doc_id"] for r in curated.take_all())
+    assert ids == [0, 4]  # identical survivors to the minhash path here
+    assert report.near_dup_pairs >= 1  # (0, 2) found exactly
+    assert report.near_dup_method == "exact_ngram"
+    on_disk = json.load(open(os.path.join(out, "report.json")))
+    assert on_disk["near_dup_method"] == "exact_ngram"
+
+    with pytest.raises(ValueError, match="near_dup_method"):
+        curate_documents(ds, near_dup_method="bogus")

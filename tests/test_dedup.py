@@ -428,3 +428,66 @@ def test_ngram_jaccard_pairs_no_candidates(ray_session):
         )
     )
     assert ngram_jaccard_pairs(ds, n=3, threshold=0.8).take_all() == []
+
+
+def test_ngram_jaccard_pairs_property_vs_bruteforce(ray_session):
+    """Hypothesis fuzz of the EXACTNESS claim: random small-vocab corpora
+    (heavy gram sharing, duplicate docs, tiny/empty docs) × random
+    thresholds must reproduce the brute-force pair set with identical
+    integers — the prefix filter may never drop a true pair and the
+    float-boundary arithmetic (⌈t·|S|⌉, inter ≥ t·union) must agree."""
+    import itertools
+
+    import ray.data
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ulp_ray.stages.dedup import ngram_jaccard_pairs
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.integers(0, 2**31 - 1),
+        st.sampled_from([0.5, 0.7, 0.8, 0.9, 1.0]),
+        st.integers(2, 8),  # vocab size: tiny → extreme gram sharing
+    )
+    def prop(seed, t, vsize):
+        rng = np.random.default_rng(seed)
+        vocab = [f"v{i}" for i in range(vsize)]
+        texts = [
+            " ".join(rng.choice(vocab, rng.integers(0, 12)))
+            for _ in range(24)
+        ]
+        # force duplicates and a null
+        texts[20] = texts[0]
+        texts[21] = None
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+        got = {
+            (r["id_a"], r["id_b"]): (r["inter_n"], r["union_n"])
+            for r in ngram_jaccard_pairs(ds, n=3, threshold=t).take_all()
+        }
+        sets = [
+            {
+                " ".join((s or "").split()[i : i + 3])
+                for i in range(len((s or "").split()) - 2)
+            }
+            for s in texts
+        ]
+        want = {}
+        for a, b in itertools.combinations(range(len(texts)), 2):
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if inter >= t * union:
+                want[(a, b)] = (inter, union)
+        assert got == want, (seed, t, vsize)
+
+    prop()

@@ -131,6 +131,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--jaccard-threshold", type=float, default=0.8)
     sp.add_argument("--no-near-dup", action="store_true")
     sp.add_argument(
+        "--near-dup-method",
+        choices=["minhash", "exact_ngram"],
+        default="minhash",
+        help="near-dup pair finder: minhash LSH sketch (default) or "
+        "exact prefix-filtered n-gram Jaccard",
+    )
+    sp.add_argument(
         "--max-dup-line-frac",
         type=float,
         default=None,
@@ -205,6 +212,7 @@ def main(argv: list[str] | None = None) -> int:
             min_quality=args.min_quality,
             jaccard_threshold=args.jaccard_threshold,
             near_dup=not args.no_near_dup,
+            near_dup_method=args.near_dup_method,
             probes=probes,
             max_dup_line_frac=args.max_dup_line_frac,
             splits=splits,

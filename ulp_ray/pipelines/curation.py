@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 
 from .._env import remote_env
 from ..functions.text import fingerprint_batch, lang_id_batch, quality_features
-from ..stages.dedup import exact_dedup, minhash_dedup
+from ..stages.dedup import exact_dedup, minhash_dedup, ngram_jaccard_pairs
 
 __all__ = ["CurationReport", "curate_documents"]
 
@@ -143,6 +143,7 @@ class CurationReport:
     jaccard_threshold: float
     split_rows: dict | None = None
     stages_resumed: list | None = None
+    near_dup_method: str = "minhash"
 
     def write(self, out_dir: str) -> None:
         with open(os.path.join(out_dir, "report.json"), "w") as f:
@@ -158,6 +159,8 @@ def curate_documents(
     text_col: str = "text",
     splits: dict[str, float] | None = None,
     near_dup: bool = True,
+    near_dup_method: str = "minhash",
+    ngram_n: int = 3,
     verify: str = "auto",
     probes: list[str] | None = None,
     max_dup_line_frac: float | None = None,
@@ -175,10 +178,17 @@ def curate_documents(
     the already-materialized curated dataset, so they re-scan the object
     store, not the source files.
 
-    ``near_dup=False`` skips the minhash stage entirely — the remaining
+    ``near_dup=False`` skips the near-dup stage entirely — the remaining
     composition (analyze → quality filter → exact dedup) is exactly
     SQL-expressible, which is what the ``curate_documents_sql`` oracle
-    twin pins. ``verify`` is forwarded to :func:`minhash_dedup`.
+    twin pins. ``near_dup_method`` selects the pair finder:
+    ``"minhash"`` (default — the sketch path; ``verify`` is forwarded
+    to :func:`minhash_dedup`) or ``"exact_ngram"``
+    (:func:`ngram_jaccard_pairs` — EXACT prefix-filtered all-pairs
+    word-``ngram_n``-gram Jaccard; same survivor rule, deterministic
+    pair set, pricier on heavily-shingled corpora). Both emit
+    ``(id_a < id_b)`` pairs, so the min-id survivor rule below is
+    method-independent.
 
     ``probes`` switches on benchmark decontamination (drop any document
     containing a probe substring — broadcast probe set, corpus streams);
@@ -211,6 +221,8 @@ def curate_documents(
                 "id_col": id_col,
                 "text_col": text_col,
                 "near_dup": bool(near_dup),
+                "near_dup_method": near_dup_method,
+                "ngram_n": ngram_n,
                 "probes": sorted(probes) if probes else None,
                 "max_dup_line_frac": max_dup_line_frac,
             },
@@ -275,18 +287,30 @@ def curate_documents(
     )
 
     if near_dup:
-        # materialized once: counted for the report AND consumed by the
-        # anti-join (object store / checkpoint dir, never the driver)
-        pairs, n_pairs = _stage(
-            "04_neardup_pairs",
-            lambda: minhash_dedup(
+        if near_dup_method not in ("minhash", "exact_ngram"):
+            raise ValueError(
+                f"near_dup_method must be 'minhash' or 'exact_ngram', "
+                f"got {near_dup_method!r}"
+            )
+        if near_dup_method == "exact_ngram":
+            find_pairs = lambda: ngram_jaccard_pairs(  # noqa: E731
+                deduped,
+                text_col=text_col,
+                id_col=id_col,
+                n=ngram_n,
+                threshold=jaccard_threshold,
+            )
+        else:
+            find_pairs = lambda: minhash_dedup(  # noqa: E731
                 deduped,
                 text_col=text_col,
                 id_col=id_col,
                 threshold=jaccard_threshold,
                 verify=verify,
-            ),
-        )
+            )
+        # materialized once: counted for the report AND consumed by the
+        # anti-join (object store / checkpoint dir, never the driver)
+        pairs, n_pairs = _stage("04_neardup_pairs", find_pairs)
     else:
         pairs, n_pairs = None, 0
     if n_pairs:
@@ -325,6 +349,7 @@ def curate_documents(
         jaccard_threshold=jaccard_threshold,
         split_rows=split_rows,
         stages_resumed=(ckpt.resumed if ckpt is not None else None),
+        near_dup_method=near_dup_method,
     )
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
