@@ -169,3 +169,8 @@ def test_cli_curate_subprocess(tmp_path):
     assert report["rows_out"] == report["rows_after_exact_dedup"]
     assert (out / "report.json").exists()
     assert any((out / "curated").iterdir())
+    # status understands the curation layout: report.json is its
+    # run-level record
+    st = json.loads(_cli("status", "--out", str(out)))
+    assert st["finished"] is True
+    assert st["curation_report"]["rows_in"] == 500

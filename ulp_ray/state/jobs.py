@@ -61,6 +61,13 @@ def run_status(run_dir: str) -> dict:
     if os.path.isfile(run_json):
         with open(run_json) as f:
             run_manifest = json.load(f)
+    # a curation out dir has no partition manifests; its report IS the
+    # run-level record
+    curation_report = None
+    report_json = os.path.join(run_dir, "report.json")
+    if os.path.isfile(report_json):
+        with open(report_json) as f:
+            curation_report = json.load(f)
 
     parts = load_completed(run_dir)
     partitions = [
@@ -77,9 +84,11 @@ def run_status(run_dir: str) -> dict:
     return {
         "run_dir": os.path.abspath(run_dir),
         # finished = the final rollup was written (run.json is the last
-        # durable step of run_pipeline)
-        "finished": run_manifest is not None,
+        # durable step of run_pipeline; report.json plays that role for
+        # a curation out dir)
+        "finished": run_manifest is not None or curation_report is not None,
         "run": run_manifest,
+        "curation_report": curation_report,
         "partitions_completed": len(partitions),
         "rows_routed": sum(p["rows_routed"] for p in partitions),
         "partitions": partitions,
