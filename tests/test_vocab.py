@@ -402,3 +402,48 @@ def test_contamination_ac_matches_regex_alternation(ray_session):
     )
     want = pc.match_substring_regex(col, _probe_pattern(probes))
     assert [None if pd.isna(x) else bool(x) for x in got] == want.to_pylist()
+
+
+def test_tokenizer_lockstep_unicode_whitespace(ray_session):
+    """The shared tokenizer must split EXACTLY like the oracles' RE2
+    ``\\s+`` — which is ASCII-only. ``utf8_split_whitespace`` also
+    splits on U+00A0/U+2003 etc. and would silently diverge from every
+    regexp_split_to_array twin on real-world text (r4 adversarial-review
+    finding). Pinned against DuckDB on adversarial spacing."""
+    import duckdb
+    import ray.data
+
+    from ulp_ray.stages.vocab import vocabulary
+
+    texts = [
+        "plain ascii words",
+        "nbsp joined stays one-token",
+        "em space also glued",
+        "tab\tand\nnewline split",
+        "  leading  double  spaces  ",
+        None,
+        "",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = {
+        r["token"]: r["n"]
+        for r in vocabulary(
+            ray.data.from_arrow(t), text_col="text", min_count=1
+        ).take_all()
+    }
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = dict(
+        con.execute(
+            "SELECT token, CAST(COUNT(*) AS BIGINT) FROM (SELECT "
+            "unnest(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents) WHERE token <> '' GROUP BY token"
+        ).fetchall()
+    )
+    assert got == want
+    assert "nbsp joined" in got  # the divergence the fix closes

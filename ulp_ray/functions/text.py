@@ -312,7 +312,7 @@ def repetition_features(arr: pa.Array | pa.ChunkedArray) -> pa.Table:
 
     lines = pc.split_pattern(arr, "\n")
     ln_total, ln_distinct, _ = per_row_counts(lines)
-    toks = pc.utf8_split_whitespace(arr)
+    toks = pc.split_pattern_regex(arr, pattern=r"\s+")  # RE2 \s (ASCII) — oracle lockstep, see _tokens.py
     tk_total, tk_distinct, tk_max = per_row_counts(toks)
 
     def col(v: np.ndarray) -> pa.Array:

@@ -115,7 +115,7 @@ def grouped_vocabulary(ds, text_col: str = "text", group_col: str = "lang"):
     most-frequent-token reports."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(batch[text_col])
+        toks = pc.split_pattern_regex(batch[text_col], pattern=r"\s+")  # RE2 \s (ASCII) — oracle lockstep, see _tokens.py
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         flat = pc.list_flatten(toks)
@@ -198,7 +198,7 @@ def doc_term_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
     from .join import bucketed_hash_join
 
     def tf_partial(batch: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(batch[text_col])
+        toks = pc.split_pattern_regex(batch[text_col], pattern=r"\s+")  # RE2 \s (ASCII) — oracle lockstep, see _tokens.py
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         flat = pc.list_flatten(toks)
