@@ -262,3 +262,48 @@ def test_curation_exact_ngram_near_dup_method(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="near_dup_method"):
         curate_documents(ds, near_dup_method="bogus")
+
+
+def test_curation_component_scope_transitive_closure(ray_session):
+    """neardup_scope='component' dedups by CLUSTER: A~C and B~C (but
+    never A~B) put all three in one component — only min-id A survives,
+    where the default pair scope would keep both A and B."""
+    import ray.data
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu apple banana cherry date"
+    ).split()
+    a = base.copy()
+    a[5] = "changedone"
+    b = base.copy()
+    b[24] = "changedtwo"
+    # word-3-gram Jaccard: A-C = B-C ≈ 0.806 (pass at t=0.7),
+    # A-B ≈ 0.647 (fail) — exactly the non-transitive triangle
+    docs = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12], pa.int64()),
+            "text": pa.array([" ".join(a), " ".join(b), " ".join(base)]),
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    kw = dict(
+        min_quality=0.0,
+        jaccard_threshold=0.7,
+        near_dup_method="exact_ngram",
+    )
+    pair_ids = sorted(
+        r["doc_id"]
+        for r in curate_documents(ds, neardup_scope="pairs", **kw)[0].take_all()
+    )
+    comp_curated, comp_report, _ = curate_documents(
+        ds, neardup_scope="component", **kw
+    )
+    comp_ids = sorted(r["doc_id"] for r in comp_curated.take_all())
+    assert pair_ids == [10, 11]  # C dropped, A and B both survive
+    assert comp_ids == [10]  # one representative per cluster
+    assert comp_report.neardup_scope == "component"
+
+    with pytest.raises(ValueError, match="neardup_scope"):
+        curate_documents(ds, neardup_scope="bogus", **kw)

@@ -1,0 +1,122 @@
+"""Connected components: oracle = an in-test union-find (transitive
+closure ground truth), exercised on cliques, chains, random graphs and
+the dedup wiring (cluster losers)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from ulp_ray.stages.graph import component_losers, connected_components
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id representative per component
+    comp = {}
+    for n in list(parent):
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    out = {}
+    for members in comp.values():
+        rep = min(members)
+        for m in members:
+            out[m] = rep
+    return out
+
+
+def _run(pairs, **kw):
+    t = pa.table(
+        {
+            "id_a": pa.array([a for a, _ in pairs], pa.int64()),
+            "id_b": pa.array([b for _, b in pairs], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    df = connected_components(ds, **kw).to_pandas()
+    return dict(zip(df["node"], df["component"]))
+
+
+def test_two_cliques_and_bridge(ray_session):
+    pairs = [(1, 3), (2, 3), (10, 11), (11, 12), (10, 12)]
+    assert _run(pairs) == _union_find(pairs)
+
+
+def test_long_chain_exceeds_one_round(ray_session):
+    # diameter 9: forces multiple propagation rounds
+    pairs = [(i, i + 1) for i in range(100, 110)]
+    got = _run(pairs)
+    assert got == _union_find(pairs)
+    assert set(got.values()) == {100}
+
+
+def test_random_graph_matches_union_find(ray_session):
+    rng = np.random.default_rng(7)
+    nodes = rng.choice(10_000, size=400, replace=False)
+    pairs = [
+        (int(nodes[i]), int(nodes[j]))
+        for i, j in rng.integers(0, len(nodes), size=(300, 2))
+        if i != j
+    ]
+    assert _run(pairs) == _union_find(pairs)
+
+
+def test_duplicate_and_reversed_pairs_are_harmless(ray_session):
+    pairs = [(5, 9), (9, 5), (5, 9), (9, 20)]
+    got = _run(pairs)
+    assert got == {5: 5, 9: 5, 20: 5}
+
+
+def test_empty_pairs(ray_session):
+    t = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+    out = connected_components(ray.data.from_arrow(t))
+    assert out.count() == 0
+    assert set(out.schema().names) == {"node", "component"}
+
+
+def test_rejects_non_integer_ids(ray_session):
+    t = pa.table({"id_a": ["x"], "id_b": ["y"]})
+    with pytest.raises(ValueError, match="integer node ids"):
+        connected_components(ray.data.from_arrow(t))
+
+
+def test_component_losers_keeps_min_per_cluster(ray_session):
+    # {1,2,3} + {7,8}: survivors 1 and 7, losers the rest
+    pairs = [(1, 3), (2, 3), (7, 8)]
+    t = pa.table(
+        {
+            "id_a": pa.array([a for a, _ in pairs], pa.int64()),
+            "id_b": pa.array([b for _, b in pairs], pa.int64()),
+        }
+    )
+    losers = sorted(
+        component_losers(ray.data.from_arrow(t)).to_pandas()["node"].tolist()
+    )
+    assert losers == [2, 3, 8]
+
+
+def test_max_iters_guard(ray_session):
+    pairs = [(i, i + 1) for i in range(50, 60)]
+    t = pa.table(
+        {
+            "id_a": pa.array([a for a, _ in pairs], pa.int64()),
+            "id_b": pa.array([b for _, b in pairs], pa.int64()),
+        }
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(ray.data.from_arrow(t), max_iters=2)

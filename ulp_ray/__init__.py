@@ -23,6 +23,7 @@ Layout
   dedup family, similarity search + k-means, as-of and interval joins,
   windows (tumbling/sliding/session/running/rolling + ranking),
   deterministic splits/sampling (incl. stratified), sketches,
+  connected components over near-dup pair graphs (cluster dedup),
   vocabulary/doc-frequency/TF-IDF folds, benchmark decontamination,
   token chunking + sequence packing, multimodal codecs (real PPM/PNG/
   WAV), sink compaction — per-key co-grouping always goes through

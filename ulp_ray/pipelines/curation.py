@@ -144,6 +144,7 @@ class CurationReport:
     split_rows: dict | None = None
     stages_resumed: list | None = None
     near_dup_method: str = "minhash"
+    neardup_scope: str = "pairs"
 
     def write(self, out_dir: str) -> None:
         with open(os.path.join(out_dir, "report.json"), "w") as f:
@@ -160,6 +161,7 @@ def curate_documents(
     splits: dict[str, float] | None = None,
     near_dup: bool = True,
     near_dup_method: str = "minhash",
+    neardup_scope: str = "pairs",
     ngram_n: int = 3,
     verify: str = "auto",
     probes: list[str] | None = None,
@@ -189,6 +191,16 @@ def curate_documents(
     pair set, pricier on heavily-shingled corpora). Both emit
     ``(id_a < id_b)`` pairs, so the min-id survivor rule below is
     method-independent.
+
+    ``neardup_scope`` picks the survivor semantics: ``"pairs"``
+    (default, the oracle-pinned contract) drops the higher id of every
+    verified pair — a document survives unless it directly loses a
+    pairwise comparison; ``"component"`` takes the TRANSITIVE closure
+    of the pair graph (`stages/graph.py` connected components) and
+    keeps one min-id representative per duplicate CLUSTER — the classic
+    web-crawl MinHash-dedup semantics (similarity isn't transitive, so
+    pairs (1,3),(2,3) cluster {1,2,3} even though (1,2) never verified).
+    ``"component"`` drops a superset of ``"pairs"``'s losers.
 
     ``probes`` switches on benchmark decontamination (drop any document
     containing a probe substring — broadcast probe set, corpus streams);
@@ -222,6 +234,7 @@ def curate_documents(
                 "text_col": text_col,
                 "near_dup": bool(near_dup),
                 "near_dup_method": near_dup_method,
+                "neardup_scope": neardup_scope,
                 "ngram_n": ngram_n,
                 "probes": sorted(probes) if probes else None,
                 "max_dup_line_frac": max_dup_line_frac,
@@ -292,6 +305,11 @@ def curate_documents(
                 f"near_dup_method must be 'minhash' or 'exact_ngram', "
                 f"got {near_dup_method!r}"
             )
+        if neardup_scope not in ("pairs", "component"):
+            raise ValueError(
+                f"neardup_scope must be 'pairs' or 'component', "
+                f"got {neardup_scope!r}"
+            )
         if near_dup_method == "exact_ngram":
             find_pairs = lambda: ngram_jaccard_pairs(  # noqa: E731
                 deduped,
@@ -314,14 +332,23 @@ def curate_documents(
     else:
         pairs, n_pairs = None, 0
     if n_pairs:
-        # drop the higher id of each verified pair (survivor = min id)
-        # via a bucketed anti-join — the loser set shuffles as a
-        # fixed-width id column, not a driver set in a task closure
+        # drop losers via a bucketed anti-join — the loser set shuffles
+        # as a fixed-width id column, not a driver set in a task closure
         from ..stages.join import bucketed_anti_join
 
-        curated = bucketed_anti_join(
-            deduped, pairs.select_columns(["id_b"]), on=id_col, right_on="id_b"
-        )
+        if neardup_scope == "component":
+            # transitive closure: keep one min-id representative per
+            # duplicate CLUSTER (connected component of the pair graph)
+            from ..stages.graph import component_losers
+
+            curated = bucketed_anti_join(
+                deduped, component_losers(pairs), on=id_col, right_on="node"
+            )
+        else:
+            # pairwise: drop the higher id of each verified pair
+            curated = bucketed_anti_join(
+                deduped, pairs.select_columns(["id_b"]), on=id_col, right_on="id_b"
+            )
     else:
         curated = deduped
     curated = curated.materialize()  # counted and (optionally) written
@@ -350,6 +377,7 @@ def curate_documents(
         split_rows=split_rows,
         stages_resumed=(ckpt.resumed if ckpt is not None else None),
         near_dup_method=near_dup_method,
+        neardup_scope=neardup_scope,
     )
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)

@@ -1,0 +1,237 @@
+"""Distributed connected components over a pair/edge Dataset.
+
+Near-dup dedup emits PAIRS (``ngram_jaccard_pairs``, ``minhash_dedup``,
+``embedding_neardup`` — `stages/dedup.py`), but similarity is not
+transitive: pairs (1,3) and (2,3) put 1, 2, 3 in one duplicate CLUSTER
+even though (1,2) was never emitted. Cluster-level dedup (keep one
+representative per connected component — the semantics of the classic
+web-scale MinHash dedup pipelines) therefore needs the transitive
+closure of the pair graph. This module computes it as iterative
+*hash-min label propagation*:
+
+- every node starts labeled with its own id;
+- each round, every node takes the min of its own label and its
+  neighbors' labels (messages flow along the symmetric edge list);
+- fixpoint: every node's label is the min id of its component.
+
+Scale shape: the edge list is bucketed by ``hash(src) % B`` ONCE and
+materialized; each round is one bucketed co-group (labels join edges →
+messages, O(E) fixed-width rows) plus a grouped-min fold with the same
+partial-per-block + small-driver-fold shape as ``count_rollup``
+(`aggregate.py`). Nothing ever lands on the driver except O(blocks)
+partial-sum rows for the convergence check. Rounds = graph DIAMETER:
+near-dup clusters are near-cliques (diameter 1–3), so 2–4 rounds in
+practice. For adversarial long-chain graphs the O(log n) alternative is
+large-star/small-star (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) — not needed for the dedup workload
+this serves.
+
+Convergence is detected exactly: labels only ever DECREASE (each node's
+new label is min(own, incoming)), so the total label sum is strictly
+decreasing until the fixpoint — equal sums ⇔ converged. The sum is
+computed in decimal128(38) partials (int64 would overflow at
+~10⁹ nodes × 2⁶³-scale ids), folded to a Python int on the driver.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["connected_components", "component_losers"]
+
+_DEC = pa.decimal128(38, 0)
+
+
+def _exact_label_sum(labels) -> int:
+    """Exact total of the label column: per-block decimal128 partial
+    sums (one row per block), Python-int fold on the driver."""
+    from .._env import remote_env
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = pc.sum(batch["label"].cast(_DEC), min_count=0)
+        return pa.table({"s": pa.array([s.as_py()], type=_DEC)})
+
+    parts = labels.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, **remote_env()
+    )
+    total = 0
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for v in b["s"]:
+            total += int(v.as_py())
+    return total
+
+
+def _min_rollup(ds, driver_fold_max_rows: int = 2_000_000):
+    """Grouped min(label) by node with the count_rollup shape: per-block
+    Arrow hash-aggregate partials (O(nodes × blocks) rows), driver fold
+    when small, distributed ``groupby().aggregate(Min)`` above the
+    threshold."""
+    import ray
+
+    from .._env import remote_env
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["node"]).aggregate([("label", "min")])
+        return pa.table({"node": g["node"], "label": g["label_min"]})
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, **remote_env()
+    ).materialize()
+    if partials.count() > driver_fold_max_rows:
+        from ray.data.aggregate import Min
+
+        return partials.groupby("node").aggregate(Min("label", alias_name="label"))
+    batches = list(partials.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not batches:
+        return partials
+    tbl = pa.concat_tables(batches)
+    g = tbl.group_by(["node"]).aggregate([("label", "min")])
+    return ray.data.from_arrow(pa.table({"node": g["node"], "label": g["label_min"]}))
+
+
+def connected_components(
+    pairs,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    buckets: int | None = None,
+    max_iters: int = 64,
+):
+    """Connected components of the undirected graph given by ``pairs``.
+
+    Returns a Dataset ``(node, component)`` — one row per node that
+    appears in any pair, ``component`` = the smallest node id reachable
+    from it. Nodes with no pairs don't appear (they are their own
+    singleton components; callers union them in if needed —
+    :func:`component_losers` does exactly that implicitly by treating
+    absence as survival).
+
+    Node ids must be an integer type (they are compared with ``min`` and
+    summed for the convergence check); dictionary-encode string ids
+    upstream if needed. ``buckets=None`` resolves cluster-scaled with
+    the rows-aware cap (`_bucket.resolve_buckets`).
+    """
+    import ray
+
+    from .._env import remote_env
+    from ._bucket import bucket_column, resolve_buckets
+
+    schema = pairs.schema()
+    types = dict(zip(schema.names, schema.types))
+    for c in (id_a, id_b):
+        t = types.get(c)
+        if t is None or not pa.types.is_integer(t):
+            raise ValueError(
+                f"connected_components needs integer node ids; column "
+                f"{c!r} is {t} — dictionary-encode string ids first"
+            )
+    buckets = resolve_buckets(buckets, pairs)
+
+    # symmetric edge list, bucketed by hash(src) once and reused every
+    # round (the edge side never changes; only the tiny labels rebucket)
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch[id_a].cast(pa.int64()).combine_chunks()
+        b = batch[id_b].cast(pa.int64()).combine_chunks()
+        t = pa.table(
+            {
+                "src": pa.concat_arrays([a, b]),
+                "dst": pa.concat_arrays([b, a]),
+            }
+        )
+        t = t.filter(pc.and_(pc.is_valid(t["src"]), pc.is_valid(t["dst"])))
+        return t.append_column("__bucket", bucket_column(t, ["src"], buckets))
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow", **remote_env()).materialize()
+    if edges.count() == 0:
+        empty = pa.table(
+            {"node": pa.array([], pa.int64()), "component": pa.array([], pa.int64())}
+        )
+        return ray.data.from_arrow(empty)
+
+    # initial labels: every node labels itself (distinct src covers all
+    # nodes because the edge list is symmetric)
+    def self_label(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["src"]).aggregate([])
+        return pa.table({"node": g["src"], "label": g["src"]})
+
+    labels = _min_rollup(
+        edges.map_batches(self_label, batch_format="pyarrow", **remote_env())
+    ).materialize()
+    prev_sum = _exact_label_sum(labels)
+
+    def pad_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch["src"],
+                "dst": batch["dst"],
+                "label": pa.nulls(len(batch), pa.int64()),
+                "__side": pa.array(["e"] * len(batch), pa.string()),
+                "__bucket": batch["__bucket"],
+            }
+        )
+
+    edges_padded = edges.map_batches(
+        pad_edges, batch_format="pyarrow", **remote_env()
+    ).materialize()
+
+    def pad_labels(batch: pa.Table) -> pa.Table:
+        t = pa.table({"src": batch["node"]})  # hashed on the same key name
+        return pa.table(
+            {
+                "src": batch["node"],
+                "dst": pa.nulls(len(batch), pa.int64()),
+                "label": batch["label"],
+                "__side": pa.array(["n"] * len(batch), pa.string()),
+                "__bucket": bucket_column(t, ["src"], buckets),
+            }
+        )
+
+    def propagate(g: pa.Table) -> pa.Table:
+        # one vectorized body per bucket: edges (src, dst) ⋈ labels
+        # (src=node, label) on src → message (node=dst, label)
+        eg = g.filter(pc.equal(g["__side"], "e")).select(["src", "dst"])
+        ng = g.filter(pc.equal(g["__side"], "n")).select(["src", "label"])
+        out = eg.to_pandas().merge(ng.to_pandas(), on="src", how="inner")
+        msg = pa.table(
+            {
+                "node": pa.array(out["dst"].to_numpy(), pa.int64()),
+                "label": pa.array(out["label"].to_numpy(), pa.int64()),
+            }
+        )
+        return msg
+
+    for _ in range(max_iters):
+        tagged_labels = labels.map_batches(
+            pad_labels, batch_format="pyarrow", **remote_env()
+        )
+        msgs = (
+            edges_padded.union(tagged_labels)
+            .groupby("__bucket")
+            .map_groups(propagate, batch_format="pyarrow", **remote_env())
+        )
+        labels = _min_rollup(msgs.union(labels)).materialize()
+        new_sum = _exact_label_sum(labels)
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter exceeds max_iters — raise it, or use a "
+            "doubling scheme for chain-shaped graphs)"
+        )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node"], "component": batch["label"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow", **remote_env())
+
+
+def component_losers(pairs, id_a: str = "id_a", id_b: str = "id_b", **kw):
+    """Ids to DROP for cluster-level dedup: every node of the pair graph
+    except the min-id representative of its component. The complement of
+    the survivors under transitive-closure semantics — feed to
+    ``bucketed_anti_join`` exactly like a pair-loser set. Nodes absent
+    from ``pairs`` never appear (they survive implicitly)."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b, **kw)
+    return comp.filter(expr="node != component").select_columns(["node"])
