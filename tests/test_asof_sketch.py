@@ -254,3 +254,77 @@ def test_approx_distinct_grouped_matches_global_single_group(ray_session):
     got = approx_distinct_grouped(ds, ["k"], "v").to_pandas()
     assert len(got) == 1
     assert int(got["approx_distinct"].iloc[0]) == est_global
+
+
+def test_heavy_hitters_zipf_bounds(ray_session):
+    """MG guarantee on Zipf-shaped data: top item identified, every
+    estimate within [true - N/(cap+1), true], every value more frequent
+    than the bound present in the summary."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ulp_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(42)
+    vals = rng.zipf(1.5, size=60_000)
+    vals = vals[vals < 5_000]  # bounded id space
+    t = pa.table({"v": pa.array(vals.astype("int64"), pa.int64())})
+    # many small blocks so per-block MG pruning actually happens
+    ds = ray.data.from_arrow(t).repartition(16)
+    k, cap = 10, 80
+    out = heavy_hitters(ds, col="v", k=k, capacity=cap).to_pandas()
+    assert len(out) == k
+    assert (out["est"].to_numpy()[:-1] >= out["est"].to_numpy()[1:]).all()
+
+    import collections
+
+    true = collections.Counter(vals.tolist())
+    n = len(vals)
+    bound = n / (cap + 1)
+    est = dict(zip(out["value"], out["est"]))
+    # Zipf(1.5): value 1 dominates
+    assert out["value"].iloc[0] == 1
+    for v, e in est.items():
+        assert e <= true[v]
+        assert e >= true[v] - bound
+    # completeness: anything truly heavier than the k-th estimate plus
+    # the bound must have surfaced in the top-k
+    kth = out["est"].iloc[-1]
+    for v, c in true.items():
+        if c > kth + bound:
+            assert v in est
+
+
+def test_heavy_hitters_values_fn_tokens(ray_session):
+    """values_fn expands inside the block (tokenize) — no explode ever
+    shuffles; exact when nothing prunes."""
+    import pyarrow as pa
+    import ray.data
+
+    from ulp_ray.stages.sketch import heavy_hitters
+    from ulp_ray.stages._tokens import flat_tokens
+
+    docs = pa.table(
+        {"text": ["a b a", "b a c", None, "a d"]}
+    )
+    ds = ray.data.from_arrow(docs)
+    out = heavy_hitters(
+        ds, values_fn=lambda b: flat_tokens(b["text"])[0], k=3, capacity=100
+    ).to_pandas()
+    assert out["value"].tolist() == ["a", "b", "c"]
+    assert out["est"].tolist() == [4, 2, 1]
+
+
+def test_heavy_hitters_arg_validation(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from ulp_ray.stages.sketch import heavy_hitters
+
+    ds = ray.data.from_arrow(pa.table({"v": [1]}))
+    with pytest.raises(ValueError, match="exactly one"):
+        heavy_hitters(ds, col="v", values_fn=lambda b: b["v"])
+    with pytest.raises(ValueError, match="exactly one"):
+        heavy_hitters(ds)

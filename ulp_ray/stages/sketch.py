@@ -7,6 +7,11 @@ register array (2^p bytes); registers max-merge associatively on the
 driver. Standard bias-corrected estimator with small/large range
 corrections. Error ≈ 1.04/√(2^p) (~1.6% at p=12).
 
+:func:`heavy_hitters` — mergeable Misra–Gries approximate top-k: each
+block reduces its exact value counts to ≤ capacity counters, the
+counters sum per value, and a sort+limit reads off the top-k with the
+deterministic underestimate bound est ∈ [true − N/(capacity+1), true].
+
 :func:`grouped_quantile_sketch` — mergeable grouped quantile: the
 huge-key-space companion to the exact
 :func:`ulp_ray.stages.aggregate.grouped_quantile` (which must co-locate
@@ -31,6 +36,7 @@ __all__ = [
     "hll_partial",
     "hll_estimate",
     "grouped_quantile_sketch",
+    "heavy_hitters",
 ]
 
 
@@ -349,3 +355,74 @@ def grouped_quantile_sketch(
         .groupby("__bucket")
         .map_groups(quantiles, batch_format="pandas", **remote_env())
     )
+
+
+def heavy_hitters(
+    ds,
+    col: str | None = None,
+    k: int = 20,
+    capacity: int | None = None,
+    values_fn=None,
+):
+    """Approximate top-``k`` most frequent values — mergeable
+    Misra–Gries summaries (Agarwal et al., "Mergeable Summaries",
+    PODS'12), the bounded-memory alternative when the exact
+    ``vocabulary`` → top-k fold would carry billions of distinct
+    (value, count) partial rows per block.
+
+    Per block: one Arrow ``value_counts`` (exact within the block),
+    then the MG reduction to ``capacity`` counters — subtract the
+    (capacity+1)-th largest count from all, keep positives. Only
+    ≤ capacity fixed-width rows per block cross the exchange. The
+    per-value estimates then SUM (pure addition merges MG summaries),
+    and the global top-k reads off with a sort+limit.
+
+    Guarantee: for every value, ``true − N/(capacity+1) ≤ est ≤ true``
+    (N = total value count); any value with frequency above
+    ``N/(capacity+1)`` is guaranteed to surface in the summed summary.
+    Default ``capacity = 8k`` keeps the bound well under the top-k
+    gaps of Zipf-shaped data.
+
+    ``values_fn(batch) → pa.Array`` overrides column extraction so
+    callers can expand values INSIDE the block (e.g. tokenize a text
+    column) without an explode ever shuffling; otherwise ``col`` is
+    read directly. Nulls are ignored. Ties at the k boundary break
+    deterministically (ascending value).
+
+    Returns a Dataset ``(value, est)``, est descending, ≤ k rows.
+    """
+    if (col is None) == (values_fn is None):
+        raise ValueError("pass exactly one of col= or values_fn=")
+    cap = capacity or 8 * k
+    if cap < 1:
+        raise ValueError(f"capacity must be >= 1, got {cap}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = values_fn(batch) if values_fn else batch[col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        vals = vals.drop_null()
+        vc = vals.value_counts()
+        items = vc.field("values")
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        if len(counts) > cap:
+            order = np.argsort(counts)[::-1]
+            t = counts[order[cap]]
+            keep = order[:cap][counts[order[:cap]] > t]
+            items = items.take(pa.array(keep))
+            est = counts[keep] - t
+        else:
+            est = counts
+        return pa.table({"value": items, "est": pa.array(est, pa.int64())})
+
+    from .aggregate import sum_rollup
+
+    summed = sum_rollup(
+        ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=None, **remote_env()
+        ),
+        ["value"],
+        ["est"],
+        count_col=None,
+    )
+    return summed.sort(["est", "value"], descending=[True, False]).limit(k)
