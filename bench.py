@@ -147,6 +147,9 @@ def run_bench() -> dict:
         "doc_term_stats_docs",
         "contamination_docs",
         "ngram_jaccard_pairs_docs",
+        "neardup_components_docs",
+        "semi_join_orders_rich_bloom",
+        "heavy_hitters_tokens_docs",
     ):
         if name not in qs:
             continue
