@@ -119,4 +119,19 @@ def test_max_iters_guard(ray_session):
         }
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(ray.data.from_arrow(t), max_iters=2)
+        connected_components(
+            ray.data.from_arrow(t), max_iters=2, driver_fold_max_edges=0
+        )
+
+
+def test_distributed_path_matches_driver_path(ray_session):
+    """The distributed propagation rounds (forced via
+    driver_fold_max_edges=0) and the numpy driver solve agree exactly."""
+    rng = np.random.default_rng(21)
+    pairs = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 300, size=(150, 2))
+        if a != b
+    ]
+    assert _run(pairs, driver_fold_max_edges=0) == _run(pairs)
+    assert _run(pairs) == _union_find(pairs)

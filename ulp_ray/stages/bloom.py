@@ -37,6 +37,21 @@ _DEFAULT_BITS = 1 << 24  # 2 MiB when the right count isn't free
 _MAX_BITS = 1 << 30  # 128 MiB broadcast ceiling
 _BITS_PER_KEY = 16
 
+# per-worker bitmap cache keyed by broadcast ref: the ray.get fetch
+# runs once per worker process, not per batch
+_BITS_CACHE: dict[str, np.ndarray] = {}
+
+
+def _fetch_bits(ref) -> np.ndarray:
+    key = ref.hex()
+    bits = _BITS_CACHE.get(key)
+    if bits is None:
+        import ray
+
+        bits = ray.get(ref)
+        _BITS_CACHE[key] = bits
+    return bits
+
 
 def _next_pow2(n: int) -> int:
     return 1 << max(6, (n - 1).bit_length())
@@ -152,35 +167,26 @@ def bloom_semi_join(
         right.select_columns([rkey]), rkey, num_bits, num_hashes
     )
 
-    class _Probe:
-        """Actor-pool stage: the bitmap is fetched from the object
-        store once per actor (zero-copy read), not per batch."""
+    def probe(batch: pa.Table) -> pa.Table:
+        # bitmap fetched once per worker process (cached by ref — the
+        # contamination stage's broadcast discipline); ray.get of a
+        # local plasma object is a zero-copy read, and a plain task fn
+        # reuses the default worker pool instead of paying an
+        # actor-pool spin-up
+        bits = _fetch_bits(ref)
+        col = batch[on].combine_chunks()
+        valid = np.asarray(pc.is_valid(col))
+        if not valid.any():
+            return batch.slice(0, 0)
+        pos = _positions(key_hash_u64(col), num_hashes, num_bits)
+        hit = (
+            bits[pos >> 6]
+            & (np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)))
+        ) != 0
+        keep = hit.all(axis=1) & valid
+        return batch.filter(pa.array(keep))
 
-        def __init__(self):
-            import ray
-
-            self.bits = ray.get(ref)
-            self.mask63 = np.uint64(63)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            col = batch[on].combine_chunks()
-            valid = np.asarray(pc.is_valid(col))
-            if not valid.any():
-                return batch.slice(0, 0)
-            pos = _positions(key_hash_u64(col), num_hashes, num_bits)
-            hit = (
-                self.bits[pos >> 6]
-                & (np.uint64(1) << (pos.astype(np.uint64) & self.mask63))
-            ) != 0
-            keep = hit.all(axis=1) & valid
-            return batch.filter(pa.array(keep))
-
-    filtered = left.map_batches(
-        _Probe,
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-        **remote_env(),
-    )
+    filtered = left.map_batches(probe, batch_format="pyarrow", **remote_env())
     if not exact:
         return filtered
     from .join import bucketed_semi_join

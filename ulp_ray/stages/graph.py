@@ -66,7 +66,11 @@ def _min_rollup(ds, driver_fold_max_rows: int = 2_000_000):
     """Grouped min(label) by node with the count_rollup shape: per-block
     Arrow hash-aggregate partials (O(nodes × blocks) rows), driver fold
     when small, distributed ``groupby().aggregate(Min)`` above the
-    threshold."""
+    threshold. Returns ``(labels_ds, exact_label_sum | None)`` — the
+    driver-fold path computes the convergence sum for free from the
+    folded table (saving one Ray execution per propagation round); the
+    distributed path returns None and the caller pays the separate
+    :func:`_exact_label_sum` pass."""
     import ray
 
     from .._env import remote_env
@@ -81,13 +85,41 @@ def _min_rollup(ds, driver_fold_max_rows: int = 2_000_000):
     if partials.count() > driver_fold_max_rows:
         from ray.data.aggregate import Min
 
-        return partials.groupby("node").aggregate(Min("label", alias_name="label"))
+        return (
+            partials.groupby("node").aggregate(Min("label", alias_name="label")),
+            None,
+        )
     batches = list(partials.iter_batches(batch_format="pyarrow", batch_size=None))
     if not batches:
-        return partials
+        return partials, 0
     tbl = pa.concat_tables(batches)
     g = tbl.group_by(["node"]).aggregate([("label", "min")])
-    return ray.data.from_arrow(pa.table({"node": g["node"], "label": g["label_min"]}))
+    folded = pa.table({"node": g["node"], "label": g["label_min"]})
+    total = int(pc.sum(folded["label"].cast(_DEC), min_count=0).as_py() or 0)
+    return ray.data.from_arrow(folded), total
+
+
+def _driver_components(src: "np.ndarray", dst: "np.ndarray"):
+    """Vectorized in-memory solve for small edge sets: hash-min label
+    propagation with pointer jumping (Shiloach–Vishkin style), O(log n)
+    rounds of O(E) numpy work. ``src``/``dst`` must be the symmetric
+    edge list. Returns ``(nodes, components)`` int64 arrays."""
+    import numpy as np
+
+    nodes, edge_idx = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    src_i = edge_idx[: len(src)]
+    dst_i = edge_idx[len(src):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        old = lab.copy()
+        # hook: every node takes the min of its neighbors' labels
+        np.minimum.at(lab, dst_i, old[src_i])
+        # pointer jump: shortcut label chains (labels are node indices,
+        # and nodes is sorted, so the min index IS the min node id)
+        lab = np.minimum(lab, lab[lab])
+        if np.array_equal(lab, old):
+            break
+    return nodes, nodes[lab]
 
 
 def connected_components(
@@ -96,6 +128,7 @@ def connected_components(
     id_b: str = "id_b",
     buckets: int | None = None,
     max_iters: int = 64,
+    driver_fold_max_edges: int = 2_000_000,
 ):
     """Connected components of the undirected graph given by ``pairs``.
 
@@ -106,30 +139,48 @@ def connected_components(
     :func:`component_losers` does exactly that implicitly by treating
     absence as survival).
 
+    Below ``driver_fold_max_edges`` (the count_rollup small-fold
+    discipline) the materialized edge list solves on the driver with
+    vectorized hash-min + pointer jumping — O(log n) numpy rounds
+    instead of one full Ray execution per graph-diameter round; above
+    it, the distributed propagation runs. Both paths are exact and
+    pinned equal by tests.
+
     Node ids must be an integer type (they are compared with ``min`` and
     summed for the convergence check); dictionary-encode string ids
     upstream if needed. ``buckets=None`` resolves cluster-scaled with
-    the rows-aware cap (`_bucket.resolve_buckets`).
+    the rows-aware cap applied against the MATERIALIZED edge count
+    (free to know, unlike the transformed input's) — the per-bucket
+    fixed cost repeats every propagation round, so over-fan-out hurts
+    this stage more than one-shot co-groups.
     """
     import ray
 
     from .._env import remote_env
-    from ._bucket import bucket_column, resolve_buckets
+    from ._bucket import bucket_column, default_buckets
 
-    schema = pairs.schema()
-    types = dict(zip(schema.names, schema.types))
-    for c in (id_a, id_b):
-        t = types.get(c)
-        if t is None or not pa.types.is_integer(t):
-            raise ValueError(
-                f"connected_components needs integer node ids; column "
-                f"{c!r} is {t} — dictionary-encode string ids first"
-            )
-    buckets = resolve_buckets(buckets, pairs)
+    def _check_types(names, types_):
+        t = dict(zip(names, types_))
+        for c in (id_a, id_b):
+            ct = t.get(c)
+            if ct is None or not pa.types.is_integer(ct):
+                raise ValueError(
+                    f"connected_components needs integer node ids; column "
+                    f"{c!r} is {ct} — dictionary-encode string ids first"
+                )
 
-    # symmetric edge list, bucketed by hash(src) once and reused every
-    # round (the edge side never changes; only the tiny labels rebucket)
+    # validate on the driver ONLY when the schema is already known —
+    # ``.schema()`` on a lazy pipeline (the usual ``ngram_jaccard_pairs``
+    # feed) EXECUTES it, and the materialize below would then run it a
+    # second time; lazy inputs validate inside the first batch instead
+    known = pairs.schema(fetch_if_missing=False)
+    if known is not None:
+        _check_types(known.names, known.types)
+
+    # symmetric edge list, materialized once and reused every round
+    # (the edge side never changes; only the tiny labels rebucket)
     def sym(batch: pa.Table) -> pa.Table:
+        _check_types(batch.schema.names, batch.schema.types)
         a = batch[id_a].cast(pa.int64()).combine_chunks()
         b = batch[id_b].cast(pa.int64()).combine_chunks()
         t = pa.table(
@@ -138,26 +189,45 @@ def connected_components(
                 "dst": pa.concat_arrays([b, a]),
             }
         )
-        t = t.filter(pc.and_(pc.is_valid(t["src"]), pc.is_valid(t["dst"])))
-        return t.append_column("__bucket", bucket_column(t, ["src"], buckets))
+        return t.filter(pc.and_(pc.is_valid(t["src"]), pc.is_valid(t["dst"])))
 
-    edges = pairs.map_batches(sym, batch_format="pyarrow", **remote_env()).materialize()
-    if edges.count() == 0:
+    edges_raw = pairs.map_batches(
+        sym, batch_format="pyarrow", **remote_env()
+    ).materialize()
+    n_edges = edges_raw.count()
+    if n_edges == 0:
         empty = pa.table(
             {"node": pa.array([], pa.int64()), "component": pa.array([], pa.int64())}
         )
         return ray.data.from_arrow(empty)
+    if n_edges <= driver_fold_max_edges:
+        # the count_rollup discipline: below the threshold the whole
+        # (fixed-width) edge list folds on the driver — a distributed
+        # round costs one full Ray execution (union → sort-shuffle →
+        # co-group) and repeats per graph diameter, which dwarfs a
+        # numpy solve for small pair graphs. 2M edges ≈ 32 MB.
+        import numpy as np
 
-    # initial labels: every node labels itself (distinct src covers all
-    # nodes because the edge list is symmetric)
-    def self_label(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["src"]).aggregate([])
-        return pa.table({"node": g["src"], "label": g["src"]})
+        cols = [
+            pa.concat_tables(
+                list(edges_raw.iter_batches(batch_format="pyarrow", batch_size=None))
+            )[c].to_numpy(zero_copy_only=False)
+            for c in ("src", "dst")
+        ]
+        nodes, comps = _driver_components(cols[0], cols[1])
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "component": pa.array(comps, pa.int64()),
+                }
+            )
+        )
 
-    labels = _min_rollup(
-        edges.map_batches(self_label, batch_format="pyarrow", **remote_env())
-    ).materialize()
-    prev_sum = _exact_label_sum(labels)
+    # the edge count is free once materialized — resolve the bucket
+    # count rows-aware even though the input was a transformed Dataset
+    if buckets is None:
+        buckets = default_buckets(est_rows=n_edges)
 
     def pad_edges(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -166,13 +236,26 @@ def connected_components(
                 "dst": batch["dst"],
                 "label": pa.nulls(len(batch), pa.int64()),
                 "__side": pa.array(["e"] * len(batch), pa.string()),
-                "__bucket": batch["__bucket"],
+                "__bucket": bucket_column(batch, ["src"], buckets),
             }
         )
 
-    edges_padded = edges.map_batches(
+    edges_padded = edges_raw.map_batches(
         pad_edges, batch_format="pyarrow", **remote_env()
     ).materialize()
+
+    # initial labels: every node labels itself (distinct src covers all
+    # nodes because the edge list is symmetric)
+    def self_label(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["src"]).aggregate([])
+        return pa.table({"node": g["src"], "label": g["src"]})
+
+    labels, prev_sum = _min_rollup(
+        edges_raw.map_batches(self_label, batch_format="pyarrow", **remote_env())
+    )
+    if prev_sum is None:
+        labels = labels.materialize()
+        prev_sum = _exact_label_sum(labels)
 
     def pad_labels(batch: pa.Table) -> pa.Table:
         t = pa.table({"src": batch["node"]})  # hashed on the same key name
@@ -209,8 +292,10 @@ def connected_components(
             .groupby("__bucket")
             .map_groups(propagate, batch_format="pyarrow", **remote_env())
         )
-        labels = _min_rollup(msgs.union(labels)).materialize()
-        new_sum = _exact_label_sum(labels)
+        labels, new_sum = _min_rollup(msgs.union(labels))
+        if new_sum is None:
+            labels = labels.materialize()
+            new_sum = _exact_label_sum(labels)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
