@@ -328,3 +328,15 @@ def test_heavy_hitters_arg_validation(ray_session):
         heavy_hitters(ds, col="v", values_fn=lambda b: b["v"])
     with pytest.raises(ValueError, match="exactly one"):
         heavy_hitters(ds)
+
+
+def test_heavy_hitters_capacity_zero_rejected(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from ulp_ray.stages.sketch import heavy_hitters
+
+    ds = ray.data.from_arrow(pa.table({"v": [1]}))
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(ds, col="v", capacity=0)

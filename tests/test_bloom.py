@@ -100,3 +100,9 @@ def test_empty_right_side(ray_session):
         exact=False,
     )
     assert out.count() == 0
+
+
+def test_num_bits_below_word_rejected(ray_session):
+    right = ray.data.from_arrow(pa.table({"rk": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(ValueError, match="power of two >= 64"):
+        build_bloom(right, "rk", num_bits=32)

@@ -265,7 +265,7 @@ def test_curation_exact_ngram_near_dup_method(ray_session, tmp_path):
 
 
 def test_curation_component_scope_transitive_closure(ray_session):
-    """neardup_scope='component' dedups by CLUSTER: A~C and B~C (but
+    """near_dup_scope='component' dedups by CLUSTER: A~C and B~C (but
     never A~B) put all three in one component — only min-id A survives,
     where the default pair scope would keep both A and B."""
     import ray.data
@@ -295,15 +295,15 @@ def test_curation_component_scope_transitive_closure(ray_session):
     )
     pair_ids = sorted(
         r["doc_id"]
-        for r in curate_documents(ds, neardup_scope="pairs", **kw)[0].take_all()
+        for r in curate_documents(ds, near_dup_scope="pairs", **kw)[0].take_all()
     )
     comp_curated, comp_report, _ = curate_documents(
-        ds, neardup_scope="component", **kw
+        ds, near_dup_scope="component", **kw
     )
     comp_ids = sorted(r["doc_id"] for r in comp_curated.take_all())
     assert pair_ids == [10, 11]  # C dropped, A and B both survive
     assert comp_ids == [10]  # one representative per cluster
-    assert comp_report.neardup_scope == "component"
+    assert comp_report.near_dup_scope == "component"
 
-    with pytest.raises(ValueError, match="neardup_scope"):
-        curate_documents(ds, neardup_scope="bogus", **kw)
+    with pytest.raises(ValueError, match="near_dup_scope"):
+        curate_documents(ds, near_dup_scope="bogus", **kw)

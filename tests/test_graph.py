@@ -126,7 +126,9 @@ def test_max_iters_guard(ray_session):
 
 def test_distributed_path_matches_driver_path(ray_session):
     """The distributed propagation rounds (forced via
-    driver_fold_max_edges=0) and the numpy driver solve agree exactly."""
+    driver_fold_max_edges=0) and the numpy driver solve agree exactly —
+    including with the distributed Min fold + separate convergence-sum
+    pass forced via driver_fold_max_rows=0."""
     rng = np.random.default_rng(21)
     pairs = [
         (int(a), int(b))
@@ -134,4 +136,19 @@ def test_distributed_path_matches_driver_path(ray_session):
         if a != b
     ]
     assert _run(pairs, driver_fold_max_edges=0) == _run(pairs)
+    assert (
+        _run(pairs, driver_fold_max_edges=0, driver_fold_max_rows=0)
+        == _union_find(pairs)
+    )
     assert _run(pairs) == _union_find(pairs)
+
+
+def test_rejects_uint64_ids(ray_session):
+    t = pa.table(
+        {
+            "id_a": pa.array([2**63 + 5], pa.uint64()),
+            "id_b": pa.array([7], pa.uint64()),
+        }
+    )
+    with pytest.raises(ValueError, match="uint64"):
+        connected_components(ray.data.from_arrow(t))

@@ -144,7 +144,7 @@ class CurationReport:
     split_rows: dict | None = None
     stages_resumed: list | None = None
     near_dup_method: str = "minhash"
-    neardup_scope: str = "pairs"
+    near_dup_scope: str = "pairs"
 
     def write(self, out_dir: str) -> None:
         with open(os.path.join(out_dir, "report.json"), "w") as f:
@@ -161,7 +161,7 @@ def curate_documents(
     splits: dict[str, float] | None = None,
     near_dup: bool = True,
     near_dup_method: str = "minhash",
-    neardup_scope: str = "pairs",
+    near_dup_scope: str = "pairs",
     ngram_n: int = 3,
     verify: str = "auto",
     probes: list[str] | None = None,
@@ -192,7 +192,7 @@ def curate_documents(
     ``(id_a < id_b)`` pairs, so the min-id survivor rule below is
     method-independent.
 
-    ``neardup_scope`` picks the survivor semantics: ``"pairs"``
+    ``near_dup_scope`` picks the survivor semantics: ``"pairs"``
     (default, the oracle-pinned contract) drops the higher id of every
     verified pair — a document survives unless it directly loses a
     pairwise comparison; ``"component"`` takes the TRANSITIVE closure
@@ -234,7 +234,7 @@ def curate_documents(
                 "text_col": text_col,
                 "near_dup": bool(near_dup),
                 "near_dup_method": near_dup_method,
-                "neardup_scope": neardup_scope,
+                "near_dup_scope": near_dup_scope,
                 "ngram_n": ngram_n,
                 "probes": sorted(probes) if probes else None,
                 "max_dup_line_frac": max_dup_line_frac,
@@ -305,10 +305,10 @@ def curate_documents(
                 f"near_dup_method must be 'minhash' or 'exact_ngram', "
                 f"got {near_dup_method!r}"
             )
-        if neardup_scope not in ("pairs", "component"):
+        if near_dup_scope not in ("pairs", "component"):
             raise ValueError(
-                f"neardup_scope must be 'pairs' or 'component', "
-                f"got {neardup_scope!r}"
+                f"near_dup_scope must be 'pairs' or 'component', "
+                f"got {near_dup_scope!r}"
             )
         if near_dup_method == "exact_ngram":
             find_pairs = lambda: ngram_jaccard_pairs(  # noqa: E731
@@ -336,7 +336,7 @@ def curate_documents(
         # as a fixed-width id column, not a driver set in a task closure
         from ..stages.join import bucketed_anti_join
 
-        if neardup_scope == "component":
+        if near_dup_scope == "component":
             # transitive closure: keep one min-id representative per
             # duplicate CLUSTER (connected component of the pair graph)
             from ..stages.graph import component_losers
@@ -377,7 +377,7 @@ def curate_documents(
         split_rows=split_rows,
         stages_resumed=(ckpt.resumed if ckpt is not None else None),
         near_dup_method=near_dup_method,
-        neardup_scope=neardup_scope,
+        near_dup_scope=near_dup_scope,
     )
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)

@@ -37,9 +37,14 @@ _DEFAULT_BITS = 1 << 24  # 2 MiB when the right count isn't free
 _MAX_BITS = 1 << 30  # 128 MiB broadcast ceiling
 _BITS_PER_KEY = 16
 
-# per-worker bitmap cache keyed by broadcast ref: the ray.get fetch
-# runs once per worker process, not per batch
+# per-worker bitmap cache keyed by broadcast ref — the same fetch-once
+# discipline as enrich._BROADCAST_CACHE, but DEDICATED and BOUNDED:
+# unlike taxonomy dicts, a bitmap can be 128 MiB, and the cached value
+# is a zero-copy view pinning its plasma object, so an unbounded cache
+# would pin every bloom filter a long-lived worker ever probed. FIFO
+# eviction; 4 live filters covers any realistic concurrent-join fan-in.
 _BITS_CACHE: dict[str, np.ndarray] = {}
+_BITS_CACHE_MAX = 4
 
 
 def _fetch_bits(ref) -> np.ndarray:
@@ -49,6 +54,8 @@ def _fetch_bits(ref) -> np.ndarray:
         import ray
 
         bits = ray.get(ref)
+        while len(_BITS_CACHE) >= _BITS_CACHE_MAX:
+            _BITS_CACHE.pop(next(iter(_BITS_CACHE)))
         _BITS_CACHE[key] = bits
     return bits
 
@@ -102,8 +109,11 @@ def build_bloom(
         num_bits = (
             min(_MAX_BITS, _next_pow2(n * _BITS_PER_KEY)) if n else _DEFAULT_BITS
         )
-    if num_bits & (num_bits - 1):
-        raise ValueError(f"num_bits must be a power of two, got {num_bits}")
+    if num_bits < 64 or num_bits & (num_bits - 1):
+        raise ValueError(
+            f"num_bits must be a power of two >= 64 (one uint64 word), "
+            f"got {num_bits}"
+        )
     words = num_bits // 64
 
     def partial(batch: pa.Table) -> pa.Table:

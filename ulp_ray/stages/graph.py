@@ -14,17 +14,21 @@ closure of the pair graph. This module computes it as iterative
   neighbors' labels (messages flow along the symmetric edge list);
 - fixpoint: every node's label is the min id of its component.
 
-Scale shape: the edge list is bucketed by ``hash(src) % B`` ONCE and
-materialized; each round is one bucketed co-group (labels join edges →
-messages, O(E) fixed-width rows) plus a grouped-min fold with the same
-partial-per-block + small-driver-fold shape as ``count_rollup``
-(`aggregate.py`). Nothing ever lands on the driver except O(blocks)
-partial-sum rows for the convergence check. Rounds = graph DIAMETER:
-near-dup clusters are near-cliques (diameter 1–3), so 2–4 rounds in
-practice. For adversarial long-chain graphs the O(log n) alternative is
-large-star/small-star (Kiveris et al., "Connected Components in
-MapReduce and Beyond", SoCC'14) — not needed for the dedup workload
-this serves.
+Scale shape: below ``driver_fold_max_edges`` (default 2M) the
+materialized edge list solves ON THE DRIVER with vectorized hash-min +
+pointer jumping — O(log n) numpy rounds, no per-round Ray executions.
+Above it, the distributed rounds run: the symmetric edge list is
+materialized once with a precomputed ``hash(src) % B`` bucket column,
+and each round co-groups it with the current labels (one bucketed
+exchange per round). Honest cost note: Ray's ``groupby`` re-sorts the
+UNION each round, so every round re-shuffles the O(E) fixed-width edge
+rows, not just the O(V) labels — the bucket column only saves the hash
+recomputation. Rounds = graph DIAMETER, and near-dup clusters are
+near-cliques (diameter 1–3), so the distributed path costs ~2–4 edge
+exchanges total; for adversarial long-chain graphs the O(log n)
+alternative is large-star/small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — an edge-REWRITING
+scheme that this workload has not needed.
 
 Convergence is detected exactly: labels only ever DECREASE (each node's
 new label is min(own, incoming)), so the total label sum is strictly
@@ -35,6 +39,7 @@ computed in decimal128(38) partials (int64 would overflow at
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -129,6 +134,7 @@ def connected_components(
     buckets: int | None = None,
     max_iters: int = 64,
     driver_fold_max_edges: int = 2_000_000,
+    driver_fold_max_rows: int = 2_000_000,
 ):
     """Connected components of the undirected graph given by ``pairs``.
 
@@ -168,6 +174,14 @@ def connected_components(
                     f"connected_components needs integer node ids; column "
                     f"{c!r} is {ct} — dictionary-encode string ids first"
                 )
+            if pa.types.is_unsigned_integer(ct) and ct.bit_width == 64:
+                # 64-bit content-hash ids can exceed int64; a wrapped
+                # cast would reorder MIN semantics — fail loudly instead
+                raise ValueError(
+                    f"connected_components: column {c!r} is uint64, which "
+                    "can overflow the int64 label domain — reindex node "
+                    "ids (or cast explicitly if values are < 2^63) first"
+                )
 
     # validate on the driver ONLY when the schema is already known —
     # ``.schema()`` on a lazy pipeline (the usual ``ngram_jaccard_pairs``
@@ -206,8 +220,6 @@ def connected_components(
         # round costs one full Ray execution (union → sort-shuffle →
         # co-group) and repeats per graph diameter, which dwarfs a
         # numpy solve for small pair graphs. 2M edges ≈ 32 MB.
-        import numpy as np
-
         cols = [
             pa.concat_tables(
                 list(edges_raw.iter_batches(batch_format="pyarrow", batch_size=None))
@@ -235,7 +247,7 @@ def connected_components(
                 "src": batch["src"],
                 "dst": batch["dst"],
                 "label": pa.nulls(len(batch), pa.int64()),
-                "__side": pa.array(["e"] * len(batch), pa.string()),
+                "__side": pa.array(np.zeros(len(batch), dtype=np.int8)),
                 "__bucket": bucket_column(batch, ["src"], buckets),
             }
         )
@@ -251,7 +263,8 @@ def connected_components(
         return pa.table({"node": g["src"], "label": g["src"]})
 
     labels, prev_sum = _min_rollup(
-        edges_raw.map_batches(self_label, batch_format="pyarrow", **remote_env())
+        edges_raw.map_batches(self_label, batch_format="pyarrow", **remote_env()),
+        driver_fold_max_rows,
     )
     if prev_sum is None:
         labels = labels.materialize()
@@ -264,7 +277,7 @@ def connected_components(
                 "src": batch["node"],
                 "dst": pa.nulls(len(batch), pa.int64()),
                 "label": batch["label"],
-                "__side": pa.array(["n"] * len(batch), pa.string()),
+                "__side": pa.array(np.ones(len(batch), dtype=np.int8)),
                 "__bucket": bucket_column(t, ["src"], buckets),
             }
         )
@@ -272,8 +285,8 @@ def connected_components(
     def propagate(g: pa.Table) -> pa.Table:
         # one vectorized body per bucket: edges (src, dst) ⋈ labels
         # (src=node, label) on src → message (node=dst, label)
-        eg = g.filter(pc.equal(g["__side"], "e")).select(["src", "dst"])
-        ng = g.filter(pc.equal(g["__side"], "n")).select(["src", "label"])
+        eg = g.filter(pc.equal(g["__side"], 0)).select(["src", "dst"])
+        ng = g.filter(pc.equal(g["__side"], 1)).select(["src", "label"])
         out = eg.to_pandas().merge(ng.to_pandas(), on="src", how="inner")
         msg = pa.table(
             {
@@ -292,7 +305,7 @@ def connected_components(
             .groupby("__bucket")
             .map_groups(propagate, batch_format="pyarrow", **remote_env())
         )
-        labels, new_sum = _min_rollup(msgs.union(labels))
+        labels, new_sum = _min_rollup(msgs.union(labels), driver_fold_max_rows)
         if new_sum is None:
             labels = labels.materialize()
             new_sum = _exact_label_sum(labels)

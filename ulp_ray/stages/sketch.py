@@ -393,7 +393,7 @@ def heavy_hitters(
     """
     if (col is None) == (values_fn is None):
         raise ValueError("pass exactly one of col= or values_fn=")
-    cap = capacity or 8 * k
+    cap = 8 * k if capacity is None else capacity
     if cap < 1:
         raise ValueError(f"capacity must be >= 1, got {cap}")
 
