@@ -156,6 +156,7 @@ def test_cli_curate_subprocess(tmp_path):
             "--out", str(out),
             "--min-quality", "0.2",
             "--no-near-dup",
+            "--near-dup-scope", "component",
             "--num-cpus", "4",
         ],
         capture_output=True,
@@ -167,6 +168,7 @@ def test_cli_curate_subprocess(tmp_path):
     report = json.loads(r.stdout.strip().splitlines()[-1])
     assert report["rows_in"] == 500
     assert report["rows_out"] == report["rows_after_exact_dedup"]
+    assert report["near_dup_scope"] == "component"  # flag plumbed through
     assert (out / "report.json").exists()
     assert any((out / "curated").iterdir())
     # status understands the curation layout: report.json is its

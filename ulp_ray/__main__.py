@@ -138,6 +138,15 @@ def main(argv: list[str] | None = None) -> int:
         "exact prefix-filtered n-gram Jaccard",
     )
     sp.add_argument(
+        "--near-dup-scope",
+        choices=["pairs", "component"],
+        default="pairs",
+        help="survivor semantics: drop the higher id of each verified "
+        "pair (pairs, default) or keep one min-id representative per "
+        "connected component of the pair graph (component — transitive "
+        "cluster dedup)",
+    )
+    sp.add_argument(
         "--max-dup-line-frac",
         type=float,
         default=None,
@@ -213,6 +222,7 @@ def main(argv: list[str] | None = None) -> int:
             jaccard_threshold=args.jaccard_threshold,
             near_dup=not args.no_near_dup,
             near_dup_method=args.near_dup_method,
+            near_dup_scope=args.near_dup_scope,
             probes=probes,
             max_dup_line_frac=args.max_dup_line_frac,
             splits=splits,
