@@ -176,15 +176,20 @@ def contaminated_ids_ngram(
     """Huge-probe-set decontamination: Dataset of the distinct
     ``id_col`` values whose text shares at least one ``n``-word n-gram
     with any probe document. Both sides shingle in place; the overlap
-    test is one gram-keyed :func:`~ulp_ray.stages.join.bucketed_semi_join`
-    (fixed-width exchange); the result is a Dataset of ids — never a
-    driver set."""
-    from .join import bucketed_semi_join
+    test is a gram-keyed semi join behind a Bloom pre-filter
+    (`stages/bloom.py`): the probe grams — the small side by
+    construction — fold into a broadcast bitmap and prune the corpus
+    gram stream INSIDE map_batches, so only ~(overlap + fpr) of the
+    corpus grams reach the co-group exchange; the exact semi join then
+    verifies survivors (results identical to the plain join, pinned by
+    the existing equivalence test). The result is a Dataset of ids —
+    never a driver set."""
+    from .bloom import bloom_semi_join
 
     doc_grams = _word_ngrams(ds, text_col, n, id_col)
     probe_grams = _word_ngrams(probes_ds, probe_text_col, n, None)
-    hits = bucketed_semi_join(
-        doc_grams, probe_grams, on="gram", buckets=buckets
+    hits = bloom_semi_join(
+        doc_grams, probe_grams, on="gram", exact=True, buckets=buckets
     )
 
     def distinct_ids(batch: pa.Table) -> pa.Table:
