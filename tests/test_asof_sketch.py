@@ -340,3 +340,69 @@ def test_heavy_hitters_capacity_zero_rejected(ray_session):
     ds = ray.data.from_arrow(pa.table({"v": [1]}))
     with pytest.raises(ValueError, match="capacity"):
         heavy_hitters(ds, col="v", capacity=0)
+
+
+def test_grouped_heavy_hitters_bounds_per_group(ray_session):
+    """Per-group MG: each group gets its own top-k with the per-group
+    bound est in [true_g - N_g/(cap+1), true_g]."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ulp_ray.stages.sketch import grouped_heavy_hitters
+
+    rng = np.random.default_rng(9)
+    rows_g, rows_v = [], []
+    for grp, zipf_a, size in (("en", 1.4, 30_000), ("fr", 1.8, 20_000)):
+        v = rng.zipf(zipf_a, size=size)
+        v = v[v < 2_000]
+        rows_g += [grp] * len(v)
+        rows_v += v.astype("int64").tolist()
+    t = pa.table({"lang": rows_g, "v": pa.array(rows_v, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(12)
+    k, cap = 5, 64
+    out = grouped_heavy_hitters(ds, "lang", col="v", k=k, capacity=cap).to_pandas()
+    assert set(out["lang"]) == {"en", "fr"}
+    for grp in ("en", "fr"):
+        sub = out[out["lang"] == grp]
+        assert len(sub) == k
+        true = collections.Counter(
+            v for g, v in zip(rows_g, rows_v) if g == grp
+        )
+        n_g = sum(1 for g in rows_g if g == grp)
+        bound = n_g / (cap + 1)
+        # the dominant value per group is found
+        assert sub.sort_values("est", ascending=False)["value"].iloc[0] == 1
+        for _, r in sub.iterrows():
+            assert r["est"] <= true[r["value"]]
+            assert r["est"] >= true[r["value"]] - bound
+
+
+def test_grouped_heavy_hitters_tokens_values_fn(ray_session):
+    """flat_tokens' (values, parents) contract keeps group alignment;
+    exact when nothing prunes."""
+    import pyarrow as pa
+    import ray.data
+
+    from ulp_ray.stages._tokens import flat_tokens
+    from ulp_ray.stages.sketch import grouped_heavy_hitters
+
+    t = pa.table(
+        {
+            "lang": ["en", "en", "fr"],
+            "text": ["a b a", "b a", "c c d"],
+        }
+    )
+    out = grouped_heavy_hitters(
+        ray.data.from_arrow(t),
+        "lang",
+        values_fn=lambda b: flat_tokens(b["text"]),
+        k=2,
+        capacity=100,
+    ).to_pandas()
+    en = out[out["lang"] == "en"].sort_values("est", ascending=False)
+    fr = out[out["lang"] == "fr"].sort_values("est", ascending=False)
+    assert list(zip(en["value"], en["est"])) == [("a", 3), ("b", 2)]
+    assert list(zip(fr["value"], fr["est"])) == [("c", 2), ("d", 1)]

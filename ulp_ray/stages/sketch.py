@@ -7,10 +7,13 @@ register array (2^p bytes); registers max-merge associatively on the
 driver. Standard bias-corrected estimator with small/large range
 corrections. Error ≈ 1.04/√(2^p) (~1.6% at p=12).
 
-:func:`heavy_hitters` — mergeable Misra–Gries approximate top-k: each
-block reduces its exact value counts to ≤ capacity counters, the
-counters sum per value, and a sort+limit reads off the top-k with the
-deterministic underestimate bound est ∈ [true − N/(capacity+1), true].
+:func:`heavy_hitters` / :func:`grouped_heavy_hitters` — mergeable
+Misra–Gries approximate top-k (global and per-group): each block
+reduces its exact value counts to ≤ capacity counters (per group in
+the grouped form, via one lexsort — no per-group Python), the counters
+sum per value, and a sort+limit / grouped_topk reads off the top-k
+with the deterministic underestimate bound
+est ∈ [true − N/(capacity+1), true] (N per group in the grouped form).
 
 :func:`grouped_quantile_sketch` — mergeable grouped quantile: the
 huge-key-space companion to the exact
@@ -37,6 +40,7 @@ __all__ = [
     "hll_estimate",
     "grouped_quantile_sketch",
     "heavy_hitters",
+    "grouped_heavy_hitters",
 ]
 
 
@@ -426,3 +430,97 @@ def heavy_hitters(
         count_col=None,
     )
     return summed.sort(["est", "value"], descending=[True, False]).limit(k)
+
+
+def grouped_heavy_hitters(
+    ds,
+    group_col: str,
+    col: str | None = None,
+    k: int = 10,
+    capacity: int | None = None,
+    values_fn=None,
+):
+    """Per-group approximate top-``k`` — the grouped form of
+    :func:`heavy_hitters`, completing the sketch family's symmetry
+    (HLL and Misra–Gries each in global + grouped form).
+
+    Per block: exact (group, value) counts, then an independent MG
+    reduction to ``capacity`` counters WITHIN each group — one
+    ``np.lexsort`` over the block's rows, no per-group Python. The
+    pruned partials sum per (group, value) through ``sum_rollup`` and a
+    ``grouped_topk`` reads off the per-group top-k. Per-group bound:
+    ``true − N_g/(capacity+1) ≤ est ≤ true`` (``N_g`` = the group's
+    value count), independent of how the group's rows spread over
+    blocks.
+
+    ``values_fn(batch) → (values: pa.Array, parents: np.ndarray)``
+    expands values inside the block WITH row alignment — exactly the
+    ``_tokens.flat_tokens`` contract, so per-group token top-k composes
+    directly; otherwise ``col`` is read row-aligned. Null values are
+    ignored; null GROUPS are kept (SQL GROUP BY semantics). Returns a
+    Dataset ``(group_col, value, est)``.
+    """
+    if (col is None) == (values_fn is None):
+        raise ValueError("pass exactly one of col= or values_fn=")
+    cap = 8 * k if capacity is None else capacity
+    if cap < 1:
+        raise ValueError(f"capacity must be >= 1, got {cap}")
+
+    import pyarrow.compute as pc
+
+    from ._bucket import key_hash_u64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if values_fn:
+            vals, par = values_fn(batch)
+            groups = batch[group_col].take(pa.array(par))
+        else:
+            vals = batch[col]
+            groups = batch[group_col]
+        t = pa.table({group_col: groups, "value": vals})
+        t = t.filter(pc.is_valid(t["value"]))
+        g = t.group_by([group_col, "value"]).aggregate([([], "count_all")])
+        cnt = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(cnt):
+            return pa.table(
+                {
+                    group_col: g[group_col],
+                    "value": g["value"],
+                    "est": pa.array([], pa.int64()),
+                }
+            )
+        gh = key_hash_u64(g[group_col].combine_chunks())
+        # group-major, count-descending order; one C-level pass
+        order = np.lexsort((-cnt, gh))
+        gh_s, cnt_s = gh[order], cnt[order]
+        starts = np.flatnonzero(np.r_[True, gh_s[1:] != gh_s[:-1]])
+        sizes = np.diff(np.r_[starts, len(gh_s)])
+        rank = np.arange(len(gh_s)) - np.repeat(starts, sizes)
+        # per-group MG threshold: the (cap+1)-th largest count (0 when
+        # the group has <= cap distinct values)
+        thr_per_group = np.where(
+            sizes > cap, cnt_s[np.minimum(starts + cap, len(cnt_s) - 1)], 0
+        )
+        thr = np.repeat(thr_per_group, sizes)
+        est = cnt_s - thr
+        keep = (rank < cap) & (est > 0)
+        kept = order[keep]
+        return pa.table(
+            {
+                group_col: g[group_col].take(pa.array(kept)),
+                "value": g["value"].take(pa.array(kept)),
+                "est": pa.array(est[keep], pa.int64()),
+            }
+        )
+
+    from .aggregate import grouped_topk, sum_rollup
+
+    summed = sum_rollup(
+        ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=None, **remote_env()
+        ),
+        [group_col, "value"],
+        ["est"],
+        count_col=None,
+    )
+    return grouped_topk(summed, [group_col], "est", k, tie_cols=["value"])
