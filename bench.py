@@ -163,6 +163,7 @@ def run_bench() -> dict:
         "neardup_components_docs",
         "semi_join_orders_rich_bloom",
         "heavy_hitters_tokens_docs",
+        "bm25_topk_docs",
     ):
         if name not in qs:
             continue
