@@ -282,3 +282,73 @@ def test_lag_column_matches_duckdb(ray_session):
         ge, ee = got["x"].to_numpy(dtype=float), exp["x"].to_numpy(dtype=float)
         both_nan = np.isnan(ge) & np.isnan(ee)
         assert (both_nan | (ge == ee)).all(), off
+
+
+def test_grouped_rank_distribution_methods_match_duckdb(ray_session):
+    """percent_rank / cume_dist / ntile vs the DuckDB window twins —
+    including tied order values and group sizes that don't divide the
+    tile count."""
+    import duckdb
+    import ray.data
+
+    from ulp_ray.stages.window import grouped_rank
+
+    rng = np.random.default_rng(31)
+    n = 2500
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 23, n), pa.int64()),
+            "o": pa.array(rng.integers(0, 40, n), pa.int64()),  # ties!
+            "tie": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    con = duckdb.connect()
+    con.register("t", t)
+
+    for method, sql in [
+        ("percent_rank", "PERCENT_RANK() OVER (PARTITION BY k ORDER BY o)"),
+        ("cume_dist", "CUME_DIST() OVER (PARTITION BY k ORDER BY o)"),
+    ]:
+        got = (
+            grouped_rank(ds, ["k"], ["o"], method=method, out_col="x")
+            .to_pandas()
+            .sort_values(["k", "o", "tie"])
+            .reset_index(drop=True)
+        )
+        exp = con.execute(
+            f"SELECT k, o, tie, {sql} AS x FROM t ORDER BY k, o, tie"
+        ).df()
+        np.testing.assert_allclose(
+            got["x"].to_numpy(), exp["x"].to_numpy(), rtol=0, atol=0
+        )
+
+    got = (
+        grouped_rank(
+            ds, ["k"], ["o", "tie"], method="ntile", ntile_n=4, out_col="tile"
+        )
+        .to_pandas()
+        .sort_values(["k", "o", "tie"])
+        .reset_index(drop=True)
+    )
+    exp = con.execute(
+        "SELECT k, o, tie, CAST(NTILE(4) OVER (PARTITION BY k ORDER BY o, tie)"
+        " AS BIGINT) AS tile FROM t ORDER BY k, o, tie"
+    ).df()
+    assert (got["tile"].to_numpy() == exp["tile"].to_numpy()).all()
+
+    # tiny groups: count < n → each row its own tile (SQL semantics)
+    small = pa.table(
+        {"k": pa.array([1, 1], pa.int64()), "o": pa.array([5, 3], pa.int64()),
+         "tie": pa.array([0, 1], pa.int64())}
+    )
+    got = grouped_rank(
+        ray.data.from_arrow(small), ["k"], ["o", "tie"],
+        method="ntile", ntile_n=8, out_col="tile",
+    ).to_pandas().sort_values("o").reset_index(drop=True)
+    assert got["tile"].tolist() == [1, 2]
+
+    with pytest.raises(ValueError, match="ntile_n"):
+        grouped_rank(ds, ["k"], ["o"], method="ntile", out_col="x")
+    with pytest.raises(ValueError, match="ntile_n only"):
+        grouped_rank(ds, ["k"], ["o"], method="rank", ntile_n=3, out_col="x")

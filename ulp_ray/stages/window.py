@@ -209,19 +209,38 @@ def grouped_rank(
     method: str = "row_number",
     out_col: str | None = None,
     buckets: int | None = None,
+    ntile_n: int | None = None,
 ):
-    """Per-group ranking — SQL ``ROW_NUMBER() / RANK() / DENSE_RANK()
-    OVER (PARTITION BY keys ORDER BY order_cols)``.
+    """Per-group ranking — SQL ``ROW_NUMBER() / RANK() / DENSE_RANK() /
+    PERCENT_RANK() / CUME_DIST() / NTILE(n) OVER (PARTITION BY keys
+    ORDER BY order_cols)``.
 
-    ``row_number`` accepts multiple order columns (include a unique
-    tiebreaker for a deterministic, oracle-comparable result);
-    ``rank`` / ``dense_rank`` rank on the first order column (SQL ties
-    share a rank, so no tiebreaker is needed for them).
+    ``row_number`` and ``ntile`` accept multiple order columns (include
+    a unique tiebreaker for a deterministic, oracle-comparable result);
+    ``rank`` / ``dense_rank`` / ``percent_rank`` / ``cume_dist`` rank
+    on the first order column (SQL ties share a value, so no tiebreaker
+    is needed for them). ``ntile`` requires ``ntile_n`` and follows the
+    SQL size rule: the first ``count % n`` tiles get the extra row.
+    Output dtype: int64 for the counting forms, float64 for
+    ``percent_rank`` (``(rank−1)/(count−1)``, 0 for a 1-row group) and
+    ``cume_dist`` (``max-rank/count``).
 
     Bucketed co-group like the other window ops: one sort + one C-level
     pandas kernel per bucket. Output: input columns + ``out_col``."""
-    if method not in ("row_number", "rank", "dense_rank"):
+    if method not in (
+        "row_number",
+        "rank",
+        "dense_rank",
+        "percent_rank",
+        "cume_dist",
+        "ntile",
+    ):
         raise ValueError(f"unsupported rank method {method!r}")
+    if method == "ntile":
+        if not ntile_n or ntile_n < 1:
+            raise ValueError("method='ntile' requires ntile_n >= 1")
+    elif ntile_n is not None:
+        raise ValueError("ntile_n only applies to method='ntile'")
     name = out_col or method
     if name in ds.schema().names:
         raise ValueError(
@@ -238,13 +257,34 @@ def grouped_rank(
         grouped = g.groupby(key_list, sort=False, dropna=False)
         if method == "row_number":
             g[name] = (grouped.cumcount() + 1).astype(np.int64)
-        else:
+        elif method in ("rank", "dense_rank"):
             pd_method = {"rank": "min", "dense_rank": "dense"}[method]
             g[name] = (
                 grouped[order_cols[0]]
                 .rank(method=pd_method, na_option="bottom")
                 .astype(np.int64)
             )
+        elif method == "percent_rank":
+            r = grouped[order_cols[0]].rank(method="min", na_option="bottom")
+            c = grouped[order_cols[0]].transform("size").to_numpy(np.float64)
+            g[name] = np.where(c > 1, (r.to_numpy() - 1.0) / (c - 1.0), 0.0)
+        elif method == "cume_dist":
+            r = grouped[order_cols[0]].rank(method="max", na_option="bottom")
+            c = grouped[order_cols[0]].transform("size").to_numpy(np.float64)
+            g[name] = r.to_numpy() / c
+        else:  # ntile — SQL size rule: first (count % n) tiles get +1 row
+            rn = grouped.cumcount().to_numpy()  # 0-based
+            c = grouped[key_list[0]].transform("size").to_numpy(np.int64)
+            q, rem = c // ntile_n, c % ntile_n
+            cut = rem * (q + 1)
+            big = rn < cut
+            tile = np.empty(len(g), dtype=np.int64)
+            tile[big] = rn[big] // (q[big] + 1) + 1
+            small = ~big
+            # q > 0 wherever small: rows past the cut only exist when
+            # count > rem (i.e. count >= n ⇒ q >= 1)
+            tile[small] = rem[small] + (rn[small] - cut[small]) // q[small] + 1
+            g[name] = tile
         return g
 
     return (
