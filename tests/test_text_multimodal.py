@@ -380,3 +380,55 @@ def test_audio_featurizer_8bit_and_32bit_wav():
     assert durs[0] == 1000  # 4001 samples at 4001 Hz (8-bit honored)
     assert durs[1] == 1000  # 8000 samples at 8 kHz (32-bit honored)
     assert all(r > 0 for r in out["rms"].to_pylist())
+
+
+def test_resize_image_area_and_nearest():
+    """Downscale is exact area averaging (constant blocks stay exact);
+    upscale is nearest neighbor; both deterministic."""
+    import numpy as np
+
+    from ulp_ray.stages.multimodal import resize_image
+
+    # 4x4 image of four 2x2 constant quadrants -> 2x2 of those values
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[:2, :2] = 10
+    img[:2, 2:] = 20
+    img[2:, :2] = 30
+    img[2:, 2:] = 40
+    small = resize_image(img, 2, 2)
+    assert small.shape == (2, 2, 3)
+    assert small[0, 0, 0] == 10 and small[0, 1, 0] == 20
+    assert small[1, 0, 0] == 30 and small[1, 1, 0] == 40
+    # upscale back: nearest neighbor repeats each pixel
+    big = resize_image(small, 4, 4)
+    assert (big == img).all()
+    # no-op passthrough
+    assert resize_image(img, 4, 4) is img
+    # non-divisible downscale stays in range and shape
+    odd = resize_image(img, 3, 3)
+    assert odd.shape == (3, 3, 3) and odd.dtype == np.uint8
+
+
+def test_image_resizer_stage_roundtrip(ray_session):
+    """Actor-pool resize: decode -> area resize -> PNG re-encode; the
+    resized payloads decode back to the requested dimensions and the
+    stage composes with the decoder downstream."""
+    import ray.data
+
+    from ulp_ray.stages.multimodal import (
+        _decode_png,
+        make_synthetic_media_table,
+        resize_images,
+    )
+
+    import pyarrow.compute as pc
+
+    t = make_synthetic_media_table(8, seed=3)
+    imgs = t.filter(pc.starts_with(t["media_type"], "image/"))
+    ds = ray.data.from_arrow(imgs)
+    out = resize_images(ds, 16, 12, concurrency=2, batch_size=4).to_pandas()
+    assert len(out) == len(imgs)
+    for payload in out["payload"]:
+        arr = _decode_png(bytes(payload))
+        assert arr.shape == (16, 12, 3)
+    assert set(out["height"]) == {16} and set(out["width"]) == {12}

@@ -302,6 +302,86 @@ class ImageDecoder:
         )
 
 
+def resize_image(img: np.ndarray, height: int, width: int) -> np.ndarray:
+    """REAL dependency-free resize. Downscale: area averaging over the
+    source boxes (integer-exact box edges via linspace rounding);
+    upscale (either axis): nearest neighbor. Deterministic — the same
+    payload always yields the same bytes, so resize stages are
+    resume/retry idempotent like every other stage."""
+    h0, w0 = img.shape[:2]
+    if h0 == height and w0 == width:
+        return img
+    if height <= h0 and width <= w0:
+        # area average: split source rows/cols into target-many boxes
+        ye = np.linspace(0, h0, height + 1).round().astype(np.int64)
+        xe = np.linspace(0, w0, width + 1).round().astype(np.int64)
+        acc = img.astype(np.float64)
+        # reduce rows then cols with add.reduceat (C-level)
+        rows = np.add.reduceat(acc, ye[:-1], axis=0)
+        cols = np.add.reduceat(rows, xe[:-1], axis=1)
+        area = (np.diff(ye)[:, None] * np.diff(xe)[None, :]).astype(np.float64)
+        out = cols / area[..., None]
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    yi = np.minimum((np.arange(height) * h0) // height, h0 - 1)
+    xi = np.minimum((np.arange(width) * w0) // width, w0 - 1)
+    return img[yi][:, xi]
+
+
+class ImageResizer:
+    """Actor-pool stage: decode → resize → re-encode PNG. Same codec
+    dispatch as :class:`ImageDecoder` (decoder state once per actor);
+    output rows carry the resized payload plus the new dimensions, so
+    the stage composes with the decoder/featurizer downstream.
+
+    Usage::
+
+        ds.map_batches(ImageResizer(64, 64).__class__, ...)  # or
+        resize_images(ds, 64, 64)
+    """
+
+    def __init__(self, height: int = 64, width: int = 64) -> None:
+        self.height, self.width = int(height), int(width)
+        self._dec = ImageDecoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads, heights, widths = [], [], []
+        for payload in batch["payload"].to_pylist():
+            img = resize_image(
+                self._dec._decode(payload), self.height, self.width
+            )
+            payloads.append(encode_png(img))
+            heights.append(img.shape[0])
+            widths.append(img.shape[1])
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "payload": pa.array(payloads, pa.binary()),
+                "height": pa.array(heights, pa.int32()),
+                "width": pa.array(widths, pa.int32()),
+            }
+        )
+
+
+def resize_images(
+    ds,
+    height: int = 64,
+    width: int = 64,
+    concurrency: tuple[int, int] | int = (1, 4),
+    batch_size: int = 64,
+):
+    """Convenience wrapper: the ImageResizer actor pool (small batches —
+    binary rows are wide; state loads once per actor)."""
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"height": height, "width": width},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        **remote_env(),
+    )
+
+
 def encode_wav(pcm: np.ndarray, sample_rate: int = 16_000) -> bytes:
     """REAL RIFF/WAVE encoder (stdlib ``wave`` + int16 numpy) — lets the
     audio path exercise genuine container parsing, not just raw bytes."""
