@@ -22,8 +22,10 @@ Layout
   salted/partial aggregation (+ grouped top-k / quantile / pivot),
   dedup family, similarity search + k-means, as-of and interval joins,
   windows (tumbling/sliding/session/running/rolling + ranking),
-  deterministic splits/sampling (incl. stratified), sketches,
+  deterministic splits/sampling (incl. stratified), sketches (HLL +
+  Misra–Gries heavy hitters, each global + grouped),
   connected components over near-dup pair graphs (cluster dedup),
+  Bloom-prefiltered semi joins, BM25 lexical retrieval,
   vocabulary/doc-frequency/TF-IDF folds, benchmark decontamination,
   token chunking + sequence packing, multimodal codecs (real PPM/PNG/
   WAV), sink compaction — per-key co-grouping always goes through
