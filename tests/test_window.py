@@ -352,3 +352,45 @@ def test_grouped_rank_distribution_methods_match_duckdb(ray_session):
         grouped_rank(ds, ["k"], ["o"], method="ntile", out_col="x")
     with pytest.raises(ValueError, match="ntile_n only"):
         grouped_rank(ds, ["k"], ["o"], method="rank", ntile_n=3, out_col="x")
+
+
+def test_edge_value_matches_duckdb_including_null_edges(ray_session):
+    """FIRST_VALUE/LAST_VALUE over the full partition frame — including
+    a NULL edge row, which pandas' transform('first') would skip."""
+    import duckdb
+    import ray.data
+
+    from ulp_ray.stages.window import edge_value_column
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    vals = rng.integers(0, 100, n).astype("float64")
+    vals[rng.random(n) < 0.1] = np.nan  # nulls anywhere, incl. edges
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 37, n), pa.int64()),
+            "o": pa.array(np.arange(n), pa.int64()),
+            "v": pa.array(vals, pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    con = duckdb.connect()
+    con.register("t", t)
+    for edge, fn in (("first", "FIRST_VALUE"), ("last", "LAST_VALUE")):
+        got = (
+            edge_value_column(ds, "k", ["o"], "v", edge=edge, out_col="ev")
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        exp = con.execute(
+            f"SELECT k, o, v, {fn}(v) OVER (PARTITION BY k ORDER BY o "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS ev "
+            "FROM t ORDER BY k, o"
+        ).df()
+        np.testing.assert_array_equal(
+            got["ev"].to_numpy(), exp["ev"].to_numpy()
+        )
+
+    with pytest.raises(ValueError, match="edge must be"):
+        edge_value_column(ds, "k", ["o"], "v", edge="middle")

@@ -39,6 +39,7 @@ __all__ = [
     "rolling_aggregate",
     "grouped_rank",
     "lag_column",
+    "edge_value_column",
 ]
 
 
@@ -325,6 +326,59 @@ def lag_column(
             columns="__bucket"
         )
         g[name] = g.groupby(key, sort=False, dropna=False)[value_col].shift(offset)
+        return g
+
+    return (
+        with_bucket(ds, [key], buckets)
+        .groupby("__bucket")
+        .map_groups(run, batch_format="pandas", **remote_env())
+    )
+
+
+def edge_value_column(
+    ds,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    edge: str = "first",
+    out_col: str | None = None,
+    buckets: int | None = None,
+):
+    """Per-key FIRST_VALUE / LAST_VALUE over the WHOLE partition — the
+    SQL ``FIRST_VALUE(v) OVER (PARTITION BY key ORDER BY o ROWS BETWEEN
+    UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)`` shape (``edge=
+    "last"`` for LAST_VALUE with the same full frame). Annotates every
+    row with its partition's edge value. Include a unique tiebreaker in
+    ``order_cols`` for a deterministic, oracle-comparable result.
+
+    Same co-group contract as the other window ops: one sort + one
+    C-level ``GroupBy.transform`` per bucket."""
+    if edge not in ("first", "last"):
+        raise ValueError(f"edge must be 'first' or 'last', got {edge!r}")
+    name = out_col or f"{edge}_{value_col}"
+    if name in ds.schema().names:
+        raise ValueError(
+            f"out_col {name!r} collides with an input column — pass out_col"
+        )
+
+    from ._bucket import with_bucket
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + list(order_cols), kind="stable").drop(
+            columns="__bucket"
+        )
+        grp = g.groupby(key, sort=False, dropna=False)
+        # POSITIONAL edge rows — SQL FIRST_VALUE/LAST_VALUE return the
+        # edge ROW's value even when it is NULL; pandas' transform
+        # ("first"/"last") skips NA and would silently diverge
+        idx = grp.cumcount().to_numpy()
+        v = g[value_col].to_numpy()
+        if edge == "first":
+            mask = idx == 0
+        else:
+            mask = idx == (grp[key].transform("size").to_numpy() - 1)
+        group_id = np.cumsum(idx == 0) - 1
+        g[name] = v[mask][group_id]
         return g
 
     return (
