@@ -81,3 +81,58 @@ def test_enrich_null_role_tool_maps_unknown():
     out = enrich_batch(batch, DEFAULT_TAXONOMY)
     assert out["role_class"].to_pylist() == ["unknown", "unknown"]
     assert out["tool_class"].to_pylist() == ["unknown", "unknown"]
+
+
+def test_rollup_counts_matches_duckdb(ray_session):
+    """GROUP BY ROLLUP: all prefix levels + grand total, with real NULL
+    data values coinciding with padded rollup nulls (SQL's own
+    ambiguity) — multiset-equal to the DuckDB twin."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ulp_ray.stages.aggregate import rollup_counts
+
+    rng = np.random.default_rng(4)
+    t = pa.table(
+        {
+            "a": pa.array(rng.integers(0, 3, 1000), pa.int64()),
+            "b": pa.array(
+                [None if x == 0 else f"s{x}" for x in rng.integers(0, 4, 1000)],
+                pa.string(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = rollup_counts(ds, ["a", "b"]).to_pandas()
+    exp = (
+        duckdb.connect()
+        .execute(
+            "SELECT a, b, COUNT(*) AS n FROM t GROUP BY ROLLUP(a, b)"
+        )
+        .df()
+    )
+
+    def norm(df):
+        rows = []
+        for row in df.itertuples(index=False):
+            rows.append(
+                tuple(
+                    "N"
+                    if (v is None or (isinstance(v, float) and v != v))
+                    else v
+                    for v in row
+                )
+            )
+        return sorted(rows, key=str)
+
+    assert norm(got) == norm(exp)
+    # no-total variant drops exactly one row (the grand total)
+    no_tot = rollup_counts(ds, ["a", "b"], total_row=False).to_pandas()
+    assert len(no_tot) == len(got) - 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one key"):
+        rollup_counts(ds, [])

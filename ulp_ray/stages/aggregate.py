@@ -40,6 +40,7 @@ __all__ = [
     "pivot_counts",
     "grouped_moments",
     "grouped_collect",
+    "rollup_counts",
 ]
 
 
@@ -551,3 +552,81 @@ def _load_node(s: str):
         return ObjectNode({k: dec(v) for k, v in n["__obj__"].items()})
 
     return dec(json.loads(s))
+
+
+def rollup_counts(ds, keys: Sequence[str], total_row: bool = True):
+    """SQL ``GROUP BY ROLLUP(keys)`` counts: one :func:`count_rollup`
+    per key PREFIX — ``(k1..kn), (k1..kn-1), …, ()`` — with the dropped
+    key columns padded as typed nulls, unioned into one Dataset
+    ``keys + [n]``.
+
+    Cost shape: the finest level pays the normal partial-per-block
+    fold; every coarser level folds over the PREVIOUS level's (already
+    tiny) output, not the raw rows — the classic rollup cascade, so the
+    raw data is read exactly once. ``total_row=False`` drops the grand
+    total (plain ROLLUP keeps it). NULL data values group like SQL
+    (count_rollup's Arrow hash-aggregate keeps null groups), which
+    matches DuckDB's ROLLUP output where real-null groups and padded
+    rollup nulls coincide — identical to SQL's own ambiguity (GROUPING()
+    exists there for the same reason; not reproduced here)."""
+    import ray
+
+    from .._env import remote_env
+
+    key_list = list(keys)
+    if not key_list:
+        raise ValueError("rollup_counts needs at least one key")
+    types = {
+        n: t
+        for n, t in zip(ds.schema().names, ds.schema().types)
+        if n in key_list
+    }
+    from ._bucket import arrow_type_of
+
+    levels = []
+    finest = count_rollup(ds, key_list)
+    levels.append(finest)
+    prev = finest
+    for cut in range(len(key_list) - 1, 0, -1):
+        kept = key_list[:cut]
+        prev = sum_rollup(prev.select_columns(kept + ["n"]), kept, ["n"], count_col=None)
+        levels.append(prev)
+    if total_row:
+        # grand total: fold the coarsest level's n
+        coarsest = prev
+
+        def total(batch: pa.Table) -> pa.Table:
+            s = pc.sum(batch["n"], min_count=0)
+            return pa.table({"n": pa.array([s.as_py() or 0], pa.int64())})
+
+        tot = coarsest.map_batches(
+            total, batch_format="pyarrow", batch_size=None, **remote_env()
+        )
+        rows = [b for b in tot.iter_batches(batch_format="pyarrow", batch_size=None)]
+        grand = sum(int(v.as_py()) for b in rows for v in b["n"])
+        levels.append(
+            ray.data.from_arrow(pa.table({"n": pa.array([grand], pa.int64())}))
+        )
+
+    def pad_level(level_keys: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for c in key_list:
+                if c in level_keys:
+                    cols[c] = batch[c]
+                else:
+                    cols[c] = pa.nulls(len(batch), arrow_type_of(types[c]))
+            cols["n"] = pc.cast(batch["n"], pa.int64())
+            return pa.table(cols)
+
+        return fn
+
+    out = None
+    n_levels = len(key_list)
+    for i, lvl in enumerate(levels):
+        kept = key_list[: n_levels - i]
+        padded = lvl.map_batches(
+            pad_level(kept), batch_format="pyarrow", **remote_env()
+        )
+        out = padded if out is None else out.union(padded)
+    return out
