@@ -127,19 +127,6 @@ def run_bench() -> dict:
     headline = time.monotonic() - t0
     assert res.rows_routed == n_turns, (res.rows_routed, n_turns)
 
-    # the 10M leg runs BEFORE the query suite: measured after ~20
-    # queries it inherits their object-store pressure (spill churn) —
-    # a standalone probe read 14.6-16.1 s where the post-suite leg of
-    # the same binary read 39 s (BASELINE.md, r4)
-    wall10 = None
-    if run_10m:
-        out10 = f"/tmp/ulp_ray_bench/10m_cpus{NUM_CPUS}"
-        shutil.rmtree(out10, ignore_errors=True)
-        t0 = time.monotonic()
-        res10 = run_pipeline(data_10m, out10, partitions=8, resume=False)
-        wall10 = time.monotonic() - t0
-        assert res10.rows_routed == 10_000_000, res10.rows_routed
-
     queries = {}
     qs = entrymod.queries()
     for name in (
@@ -185,7 +172,20 @@ def run_bench() -> dict:
         "turns_per_sec": round(n_turns / headline, 1),
     }
 
-    if wall10 is not None:
+    # 10M leg stays LAST — the same slot it occupied in every earlier
+    # round's BENCH artifact, so the standing metric remains comparable
+    # across rounds. It therefore inherits the query suite's
+    # object-store churn; the clean standalone number is recorded in
+    # BASELINE.md (14.6-16.1 s vs 21.9-39.2 s in-suite on a noisy
+    # evening — reorder would fix this leg only by contaminating all
+    # ~20 query timings instead).
+    if run_10m:
+        out10 = f"/tmp/ulp_ray_bench/10m_cpus{NUM_CPUS}"
+        shutil.rmtree(out10, ignore_errors=True)
+        t0 = time.monotonic()
+        res10 = run_pipeline(data_10m, out10, partitions=8, resume=False)
+        wall10 = time.monotonic() - t0
+        assert res10.rows_routed == 10_000_000, res10.rows_routed
         result["flagship_10m_sec"] = round(wall10, 3)
         result["turns_per_sec_10m"] = round(10_000_000 / wall10, 1)
 

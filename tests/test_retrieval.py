@@ -62,7 +62,12 @@ def _ds(n_blocks=1):
 def test_matches_reference_implementation(ray_session):
     got = bm25_topk(_ds(), "hash join merge", k=10).to_pandas()
     want = _reference_bm25(DOCS, "hash join merge", 10)
-    assert list(zip(got["doc_id"], got["rank"], got["score"])) == want
+    assert list(zip(got["doc_id"], got["rank"])) == [w[:2] for w in want]
+    # engine rounds half-away-from-zero (DuckDB lockstep); the python
+    # reference's round() is half-to-even — compare within half an ulp
+    # of the 4th decimal instead of demanding identical tie-rounding
+    for g, w in zip(got["score"], want):
+        assert abs(g - w[2]) <= 5e-5
     # the no-term doc never appears
     assert 3 not in set(got["doc_id"])
 

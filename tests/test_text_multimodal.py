@@ -428,7 +428,33 @@ def test_image_resizer_stage_roundtrip(ray_session):
     ds = ray.data.from_arrow(imgs)
     out = resize_images(ds, 16, 12, concurrency=2, batch_size=4).to_pandas()
     assert len(out) == len(imgs)
-    for payload in out["payload"]:
+    for payload, nb in zip(out["payload"], out["n_bytes"]):
         arr = _decode_png(bytes(payload))
         assert arr.shape == (16, 12, 3)
+        assert nb == len(payload)  # metadata refreshed, not stale
     assert set(out["height"]) == {16} and set(out["width"]) == {12}
+    # the payload is re-encoded PNG — media_type must say so
+    assert set(out["media_type"]) == {"image/png"}
+
+
+def test_resize_normalizes_grayscale_and_rgba():
+    """_to_rgb bridges 2-D grayscale and RGBA arrays into the
+    3-channel resize/encode path (direct resize_image callers may hold
+    raw decoder output from other libraries)."""
+    import numpy as np
+    import pytest
+
+    from ulp_ray.stages.multimodal import _to_rgb, resize_image
+
+    gray = (np.arange(24, dtype=np.uint8)).reshape(6, 4)
+    rgb = _to_rgb(gray)
+    assert rgb.shape == (6, 4, 3)
+    assert (rgb[..., 0] == gray).all() and (rgb[..., 2] == gray).all()
+    out = resize_image(_to_rgb(gray), 3, 2)
+    assert out.shape == (3, 2, 3)
+
+    rgba = np.zeros((4, 4, 4), dtype=np.uint8)
+    rgba[..., 3] = 255
+    assert _to_rgb(rgba).shape == (4, 4, 3)
+    with pytest.raises(ValueError, match="channel count"):
+        _to_rgb(np.zeros((2, 2, 5), dtype=np.uint8))

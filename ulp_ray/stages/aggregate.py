@@ -592,18 +592,13 @@ def rollup_counts(ds, keys: Sequence[str], total_row: bool = True):
         prev = sum_rollup(prev.select_columns(kept + ["n"]), kept, ["n"], count_col=None)
         levels.append(prev)
     if total_row:
-        # grand total: fold the coarsest level's n
-        coarsest = prev
-
-        def total(batch: pa.Table) -> pa.Table:
-            s = pc.sum(batch["n"], min_count=0)
-            return pa.table({"n": pa.array([s.as_py() or 0], pa.int64())})
-
-        tot = coarsest.map_batches(
-            total, batch_format="pyarrow", batch_size=None, **remote_env()
+        # grand total: the coarsest level is already a tiny folded
+        # dataset (one row per first-key value) — sum it on the driver
+        # directly, no extra Ray stage
+        grand = sum(
+            int(pc.sum(b["n"], min_count=0).as_py() or 0)
+            for b in prev.iter_batches(batch_format="pyarrow", batch_size=None)
         )
-        rows = [b for b in tot.iter_batches(batch_format="pyarrow", batch_size=None)]
-        grand = sum(int(v.as_py()) for b in rows for v in b["n"])
         levels.append(
             ray.data.from_arrow(pa.table({"n": pa.array([grand], pa.int64())}))
         )

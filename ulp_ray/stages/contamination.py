@@ -187,7 +187,10 @@ def contaminated_ids_ngram(
     from .bloom import bloom_semi_join
 
     doc_grams = _word_ngrams(ds, text_col, n, id_col)
-    probe_grams = _word_ngrams(probes_ds, probe_text_col, n, None)
+    # materialized ONCE: the bloom build consumes the probe grams fully
+    # and the exact verify join reads them again — lazy, the shingling
+    # map would re-execute for the second consumer
+    probe_grams = _word_ngrams(probes_ds, probe_text_col, n, None).materialize()
     hits = bloom_semi_join(
         doc_grams, probe_grams, on="gram", exact=True, buckets=buckets
     )

@@ -327,16 +327,32 @@ def resize_image(img: np.ndarray, height: int, width: int) -> np.ndarray:
     return img[yi][:, xi]
 
 
+def _to_rgb(img: np.ndarray) -> np.ndarray:
+    """Normalize a decoded image to (h, w, 3) RGB: 2-D grayscale
+    broadcasts across channels, RGBA drops alpha (the PNG encoder and
+    the resize kernel are 3-channel; the PNG DECODER deliberately
+    supports more — this is the bridge)."""
+    if img.ndim == 2:
+        return np.repeat(img[:, :, None], 3, axis=2)
+    if img.shape[2] == 4:
+        return np.ascontiguousarray(img[:, :, :3])
+    if img.shape[2] == 3:
+        return img
+    raise ValueError(f"unsupported channel count {img.shape[2]}")
+
+
 class ImageResizer:
-    """Actor-pool stage: decode → resize → re-encode PNG. Same codec
-    dispatch as :class:`ImageDecoder` (decoder state once per actor);
-    output rows carry the resized payload plus the new dimensions, so
-    the stage composes with the decoder/featurizer downstream.
+    """Actor-pool stage: decode → normalize to RGB → resize → re-encode
+    PNG. Same codec dispatch as :class:`ImageDecoder` (decoder state
+    once per actor); grayscale/RGBA inputs normalize via :func:`_to_rgb`
+    so every decodable payload resizes. Output rows carry the resized
+    PNG payload with REFRESHED metadata — ``media_type`` becomes
+    ``image/png`` and ``n_bytes`` the new payload size (stale metadata
+    would misroute downstream consumers that trust the column).
 
-    Usage::
-
-        ds.map_batches(ImageResizer(64, 64).__class__, ...)  # or
-        resize_images(ds, 64, 64)
+    Usage: ``resize_images(ds, 64, 64)`` (the fn_constructor_kwargs
+    pattern — passing a constructed instance's class to map_batches
+    would silently drop the sizes).
     """
 
     def __init__(self, height: int = 64, width: int = 64) -> None:
@@ -347,7 +363,7 @@ class ImageResizer:
         payloads, heights, widths = [], [], []
         for payload in batch["payload"].to_pylist():
             img = resize_image(
-                self._dec._decode(payload), self.height, self.width
+                _to_rgb(self._dec._decode(payload)), self.height, self.width
             )
             payloads.append(encode_png(img))
             heights.append(img.shape[0])
@@ -355,8 +371,13 @@ class ImageResizer:
         return pa.table(
             {
                 "media_id": batch["media_id"],
-                "media_type": batch["media_type"],
+                "media_type": pa.array(
+                    ["image/png"] * len(batch), pa.string()
+                ),
                 "payload": pa.array(payloads, pa.binary()),
+                "n_bytes": pa.array(
+                    [len(p) for p in payloads], pa.int64()
+                ),
                 "height": pa.array(heights, pa.int32()),
                 "width": pa.array(widths, pa.int32()),
             }

@@ -37,7 +37,14 @@ __all__ = ["bm25_topk"]
 
 
 def _tokenize_query(query: str) -> list[str]:
-    return sorted({t for t in query.split() if t})
+    """Distinct query terms via the SAME lockstep tokenizer the corpus
+    uses (RE2 ASCII ``\\s`` — `_tokens.flat_tokens`); a Python
+    ``str.split`` would also split on Unicode spaces and could produce
+    terms no corpus token can ever equal."""
+    from ._tokens import flat_tokens
+
+    toks, _ = flat_tokens(pa.array([query], pa.string()))
+    return sorted(set(toks.to_pylist()))
 
 
 def bm25_topk(
@@ -167,11 +174,19 @@ def bm25_topk(
         ids = np.array([], dtype=np.int64)
         sc = np.array([], dtype=np.float64)
     order = np.lexsort((ids, -sc))[:k]
+    # half-away-from-zero to match DuckDB ROUND (numpy's np.round is
+    # banker's half-to-even — the repo's lockstep-rounding convention,
+    # see the casts module)
+    rounded = pc.round(
+        pa.array(sc[order], pa.float64()),
+        ndigits=4,
+        round_mode="half_towards_infinity",
+    )
     out = pa.table(
         {
             id_col: pa.array(ids[order]),
             "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-            "score": pa.array(np.round(sc[order], 4), pa.float64()),
+            "score": rounded,
         }
     )
     import ray

@@ -472,7 +472,15 @@ def grouped_heavy_hitters(
 
     def partial(batch: pa.Table) -> pa.Table:
         if values_fn:
-            vals, par = values_fn(batch)
+            expanded = values_fn(batch)
+            if not (isinstance(expanded, tuple) and len(expanded) == 2):
+                raise TypeError(
+                    "grouped_heavy_hitters values_fn must return "
+                    "(values: pa.Array, parents: np.ndarray) — the "
+                    "flat_tokens contract; the GLOBAL heavy_hitters "
+                    "takes a bare values array instead"
+                )
+            vals, par = expanded
             groups = batch[group_col].take(pa.array(par))
         else:
             vals = batch[col]

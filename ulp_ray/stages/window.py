@@ -268,7 +268,11 @@ def grouped_rank(
         elif method == "percent_rank":
             r = grouped[order_cols[0]].rank(method="min", na_option="bottom")
             c = grouped[order_cols[0]].transform("size").to_numpy(np.float64)
-            g[name] = np.where(c > 1, (r.to_numpy() - 1.0) / (c - 1.0), 0.0)
+            # guarded divide: a 1-row group would otherwise evaluate
+            # 0/0 before np.where discards it, spamming worker logs
+            pr = np.zeros(len(g), dtype=np.float64)
+            np.divide(r.to_numpy() - 1.0, c - 1.0, out=pr, where=c > 1)
+            g[name] = pr
         elif method == "cume_dist":
             r = grouped[order_cols[0]].rank(method="max", na_option="bottom")
             c = grouped[order_cols[0]].transform("size").to_numpy(np.float64)
