@@ -99,8 +99,14 @@ def run_bench() -> dict:
     # 10M flagship leg (amortized regime — per-partition fixed costs
     # vanish; BASELINE.md tracks it): only at the driver's sf0.1 config,
     # where the extra ~20 s wall is proportionate. GRAFT_10M=0 skips.
+    # Runs LAST in a FRESH SUBPROCESS with its own ray.init (r4 fix):
+    # in-process it inherited the ~20 query legs' object-store churn and
+    # read 31.7 s where a standalone probe of the same binary read
+    # 14.6-16.1 s — isolation keeps both the query walls and the 10M
+    # number clean without reordering either.
     run_10m = _sf_name() == "sf0.1" and os.environ.get("GRAFT_10M", "1") != "0"
-    data_10m = _ensure_transcripts(10_000_000) if run_10m else None
+    if run_10m:
+        _ensure_transcripts(10_000_000)  # cache the fixture pre-fork
 
     if not ray.is_initialized():
         ray.init(
@@ -172,25 +178,57 @@ def run_bench() -> dict:
         "turns_per_sec": round(n_turns / headline, 1),
     }
 
-    # 10M leg stays LAST — the same slot it occupied in every earlier
-    # round's BENCH artifact, so the standing metric remains comparable
-    # across rounds. It therefore inherits the query suite's
-    # object-store churn; the clean standalone number is recorded in
-    # BASELINE.md (14.6-16.1 s vs 21.9-39.2 s in-suite on a noisy
-    # evening — reorder would fix this leg only by contaminating all
-    # ~20 query timings instead).
-    if run_10m:
-        out10 = f"/tmp/ulp_ray_bench/10m_cpus{NUM_CPUS}"
-        shutil.rmtree(out10, ignore_errors=True)
-        t0 = time.monotonic()
-        res10 = run_pipeline(data_10m, out10, partitions=8, resume=False)
-        wall10 = time.monotonic() - t0
-        assert res10.rows_routed == 10_000_000, res10.rows_routed
-        result["flagship_10m_sec"] = round(wall10, 3)
-        result["turns_per_sec_10m"] = round(10_000_000 / wall10, 1)
-
     ray.shutdown()
+
+    # 10M leg: fresh subprocess, fresh ray.init — neither the query
+    # suite's object-store churn nor the leg's own contaminates the
+    # other (the prior in-process run read 2.2× its standalone wall)
+    if run_10m:
+        leg = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flagship-10m-leg"],
+            env=dict(os.environ),
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        result.update(json.loads(leg.strip().splitlines()[-1]))
     return result
+
+
+def run_10m_leg() -> dict:
+    """The 10M-turn flagship leg in isolation (invoked as a subprocess
+    by run_bench, runnable standalone for probes)."""
+    import ray
+
+    _quiet_ray_data_logs()
+    data_10m = _ensure_transcripts(10_000_000)  # BEFORE ray.init
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from ulp_ray.pipelines.flagship import run_pipeline
+
+    _warm_page_cache(data_10m)
+    import shutil
+
+    out10 = f"/tmp/ulp_ray_bench/10m_cpus{NUM_CPUS}"
+    shutil.rmtree(out10, ignore_errors=True)
+    t0 = time.monotonic()
+    res10 = run_pipeline(data_10m, out10, partitions=8, resume=False)
+    wall10 = time.monotonic() - t0
+    assert res10.rows_routed == 10_000_000, res10.rows_routed
+    ray.shutdown()
+    return {
+        "flagship_10m_sec": round(wall10, 3),
+        "turns_per_sec_10m": round(10_000_000 / wall10, 1),
+    }
 
 
 SCALING_TURNS = int(os.environ.get("GRAFT_SCALING_TURNS", "40000000"))
@@ -285,5 +323,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling_leg()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--flagship-10m-leg" in sys.argv:
+        print(json.dumps(run_10m_leg()))
     else:
         print(json.dumps(run_bench()))

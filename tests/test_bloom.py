@@ -30,7 +30,10 @@ def test_exact_mode_matches_bucketed_semi_join(ray_session):
     left, right, _ = _tables()
     l, r = ray.data.from_arrow(left), ray.data.from_arrow(right)
     got = (
-        bloom_semi_join(l, r, on="k", right_on="rk", exact=True)
+        # min_left_rows=0 pins the bloom path (the auto-skip heuristic
+        # would otherwise route this small input straight to the plain
+        # join and the comparison would be vacuous)
+        bloom_semi_join(l, r, on="k", right_on="rk", exact=True, min_left_rows=0)
         .to_pandas()
         .sort_values(["k", "payload"])
         .reset_index(drop=True)
@@ -78,9 +81,39 @@ def test_multiblock_build_or_fold(ray_session):
     # split the right side across many blocks so the partial bitmaps
     # really merge (each block contributes a disjoint key subset)
     r = ray.data.from_arrow(right).repartition(23)
-    out = bloom_semi_join(l, r, on="k", right_on="rk", exact=True).to_pandas()
+    out = bloom_semi_join(
+        l, r, on="k", right_on="rk", exact=True, min_left_rows=0
+    ).to_pandas()
     want = {k for k in left["k"].to_pylist() if k in rset}
     assert set(out["k"].tolist()) == want
+
+
+def test_num_hashes_zero_rejected(ray_session):
+    right = ray.data.from_arrow(pa.table({"rk": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(ValueError, match="num_hashes"):
+        build_bloom(right, "rk", num_hashes=0)
+
+
+def test_auto_skip_small_left(ray_session, monkeypatch):
+    """Exact mode with a small metadata-counted left side skips the
+    bloom build entirely (proved by poisoning build_bloom) and still
+    returns the exact semi-join result; min_left_rows=0 re-engages it."""
+    import ulp_ray.stages.bloom as bloom_mod
+
+    left, right, rset = _tables(n_left=2000, n_right=300, seed=9)
+    l, r = ray.data.from_arrow(left), ray.data.from_arrow(right)
+
+    def boom(*a, **kw):  # pragma: no cover - must not be reached
+        raise AssertionError("build_bloom must be skipped for small left")
+
+    monkeypatch.setattr(bloom_mod, "build_bloom", boom)
+    out = bloom_mod.bloom_semi_join(l, r, on="k", right_on="rk", exact=True)
+    want = {k for k in left["k"].to_pylist() if k in rset}
+    assert set(out.to_pandas()["k"].tolist()) == want
+    with pytest.raises(AssertionError, match="must be skipped"):
+        bloom_mod.bloom_semi_join(
+            l, r, on="k", right_on="rk", exact=True, min_left_rows=0
+        ).materialize()
 
 
 def test_build_bloom_power_of_two_guard(ray_session):

@@ -111,6 +111,10 @@ def test_component_losers_keeps_min_per_cluster(ray_session):
 
 
 def test_max_iters_guard(ray_session):
+    # only the huge-V dataset fallback can realistically hit the guard
+    # (the actor path pointer-jumps to closure every round, so 64 rounds
+    # cover diameter ~2^64); force it with driver_fold_max_rows=0 and a
+    # single round on a diameter-10 chain
     pairs = [(i, i + 1) for i in range(50, 60)]
     t = pa.table(
         {
@@ -120,8 +124,33 @@ def test_max_iters_guard(ray_session):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(
-            ray.data.from_arrow(t), max_iters=2, driver_fold_max_edges=0
+            ray.data.from_arrow(t),
+            max_iters=1,
+            driver_fold_max_edges=0,
+            driver_fold_max_rows=0,
         )
+
+
+def test_actor_path_long_chain(ray_session):
+    """The label-only-exchange actor path (driver_fold_max_edges=0,
+    V below the rows bound) solves an adversarial chain — the shape the
+    pre-r5 distributed rounds could only handle in diameter rounds —
+    and matches union-find exactly."""
+    pairs = [(i, i + 1) for i in range(1000, 1200)]  # diameter 200
+    got = _run(pairs, driver_fold_max_edges=0)
+    assert got == _union_find(pairs)
+    assert set(got.values()) == {1000}
+
+
+def test_dataset_path_pointer_jump_chain(ray_session):
+    """The huge-V dataset fallback (driver_fold_max_rows=0) converges on
+    a diameter-40 chain within well under 40 hook rounds thanks to the
+    per-round pointer jump (max_iters=10 would abort without it)."""
+    pairs = [(i, i + 1) for i in range(300, 340)]
+    got = _run(
+        pairs, driver_fold_max_edges=0, driver_fold_max_rows=0, max_iters=10
+    )
+    assert got == _union_find(pairs)
 
 
 def test_distributed_path_matches_driver_path(ray_session):
@@ -141,6 +170,23 @@ def test_distributed_path_matches_driver_path(ray_session):
         == _union_find(pairs)
     )
     assert _run(pairs) == _union_find(pairs)
+
+
+def test_actor_path_above_2m_edges_matches_driver_solve(ray_session):
+    """VERDICT r4 #5 done-criterion: a >2M-edge graph through the REAL
+    distributed path (default thresholds — 2×1.05M symmetric edges
+    exceed driver_fold_max_edges) equals the driver numpy solve."""
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 50_000, size=1_050_000, dtype=np.int64)
+    b = rng.integers(0, 50_000, size=1_050_000, dtype=np.int64)
+    keep = a != b
+    t = pa.table({"id_a": pa.array(a[keep]), "id_b": pa.array(b[keep])})
+    ds = ray.data.from_arrow(t)
+    dist = connected_components(ds).to_pandas()
+    drv = connected_components(ds, driver_fold_max_edges=1 << 40).to_pandas()
+    got = dict(zip(dist["node"], dist["component"]))
+    want = dict(zip(drv["node"], drv["component"]))
+    assert got == want
 
 
 def test_rejects_uint64_ids(ray_session):

@@ -167,6 +167,7 @@ def curate_documents(
     probes: list[str] | None = None,
     max_dup_line_frac: float | None = None,
     checkpoint_dir: str | None = None,
+    cc_max_iters: int = 64,
 ) -> tuple:
     """Run the curation pipeline over a documents dataset.
 
@@ -208,6 +209,11 @@ def curate_documents(
     quality filter (documents whose duplicate-line fraction
     ``1 − n_distinct_lines/n_lines`` exceeds it are dropped; single-line
     and empty documents pass).
+
+    ``cc_max_iters`` bounds the connected-components rounds when
+    ``near_dup_scope="component"`` (with per-round pointer jumping 64
+    covers graphs of diameter ~2^64 — the knob exists so an adversarial
+    configuration can raise it rather than die mid-pipeline).
 
     ``checkpoint_dir`` turns on stage-level checkpointing: each stage's
     output lands durably under ``checkpoint_dir/<stage>/`` with an
@@ -342,7 +348,10 @@ def curate_documents(
             from ..stages.graph import component_losers
 
             curated = bucketed_anti_join(
-                deduped, component_losers(pairs), on=id_col, right_on="node"
+                deduped,
+                component_losers(pairs, max_iters=cc_max_iters),
+                on=id_col,
+                right_on="node",
             )
         else:
             # pairwise: drop the higher id of each verified pair

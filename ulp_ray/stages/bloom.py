@@ -101,6 +101,11 @@ def build_bloom(
     from .._env import remote_env
     from ._bucket import key_hash_u64
 
+    if num_hashes < 1:
+        # k = 0 would make every probe's hit.all(axis=1) vacuously True:
+        # exact=False silently returns EVERY left row (no screen at all)
+        # and exact=True silently loses all pruning — fail loudly instead
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     if num_bits is None:
         try:
             n = ds._meta_count()
@@ -147,6 +152,15 @@ def build_bloom(
     return ray.put(acc), num_bits, num_hashes
 
 
+def _free_count(ds) -> int | None:
+    """Row count when it's FREE (parquet metadata on an untransformed
+    read); None otherwise — never pays an execution."""
+    try:
+        return ds._meta_count()
+    except Exception:  # pragma: no cover - internal-API drift guard
+        return None
+
+
 def bloom_semi_join(
     left,
     right,
@@ -156,6 +170,7 @@ def bloom_semi_join(
     num_hashes: int = 4,
     exact: bool = True,
     buckets: int | None = None,
+    min_left_rows: int = 4_000_000,
 ):
     """Semi join with a broadcast Bloom pre-filter on the left side.
 
@@ -168,11 +183,34 @@ def bloom_semi_join(
     ``exact=False``: single-pass approximate screen — no shuffle at
     all; keeps every true match plus ~``p`` false positives (``p`` ≈
     0.24 % at the default 16 bits/key, k = 4). Null left keys never
-    match in either mode (SQL EXISTS semantics)."""
+    match in either mode (SQL EXISTS semantics).
+
+    Auto-skip (``exact=True`` only — ``exact=False`` callers asked for
+    the screen itself): the build pass + broadcast + probe pass are pure
+    overhead when the exchange they would shrink is already small, so
+    when the LEFT row count is free from parquet metadata and below
+    ``min_left_rows`` (default 4M — the measured break-even order on the
+    dev box, where the bloom form's fixed cost ≈ 2 s exceeded the whole
+    150k-row exchange it saved; tune per cluster), or the RIGHT count is
+    free and too large for a useful bitmap under the broadcast ceiling
+    (< 2 bits/key ⇒ fpr ≳ 40 %), the call routes straight to
+    ``bucketed_semi_join`` — results are identical either way.
+    ``min_left_rows=0`` pins the bloom path (tests, oracle queries)."""
     from .._env import remote_env
     from ._bucket import key_hash_u64
 
     rkey = right_on or on
+    if exact:
+        ln = _free_count(left)
+        rn = _free_count(right)
+        if (ln is not None and ln < min_left_rows) or (
+            rn is not None and rn * 2 > _MAX_BITS
+        ):
+            from .join import bucketed_semi_join
+
+            return bucketed_semi_join(
+                left, right, on=on, right_on=rkey, buckets=buckets
+            )
     ref, num_bits, num_hashes = build_bloom(
         right.select_columns([rkey]), rkey, num_bits, num_hashes
     )

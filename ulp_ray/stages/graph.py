@@ -14,21 +14,35 @@ closure of the pair graph. This module computes it as iterative
   neighbors' labels (messages flow along the symmetric edge list);
 - fixpoint: every node's label is the min id of its component.
 
-Scale shape: below ``driver_fold_max_edges`` (default 2M) the
-materialized edge list solves ON THE DRIVER with vectorized hash-min +
-pointer jumping — O(log n) numpy rounds, no per-round Ray executions.
-Above it, the distributed rounds run: the symmetric edge list is
-materialized once with a precomputed ``hash(src) % B`` bucket column,
-and each round co-groups it with the current labels (one bucketed
-exchange per round). Honest cost note: Ray's ``groupby`` re-sorts the
-UNION each round, so every round re-shuffles the O(E) fixed-width edge
-rows, not just the O(V) labels — the bucket column only saves the hash
-recomputation. Rounds = graph DIAMETER, and near-dup clusters are
-near-cliques (diameter 1–3), so the distributed path costs ~2–4 edge
-exchanges total; for adversarial long-chain graphs the O(log n)
-alternative is large-star/small-star (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14) — an edge-REWRITING
-scheme that this workload has not needed.
+Scale shape, three regimes:
+
+- **E ≤ driver_fold_max_edges** (default 2M): the materialized edge
+  list solves ON THE DRIVER with vectorized hash-min + pointer
+  jumping — O(log n) numpy rounds, no per-round Ray executions.
+- **E above, V ≤ driver_fold_max_rows** (the common dedup regime —
+  pair graphs have far fewer touched nodes than edges): the
+  LABEL-ONLY-EXCHANGE path. Edge blocks ship to a pool of resident
+  actors EXACTLY ONCE (zero-copy block refs, converted to sorted
+  numpy index arrays in ``__init__``); each round broadcasts the
+  O(V) label vector via ``ray.put`` and every actor answers with its
+  pre-reduced sparse (distinct-dst, min-label) pair — a
+  ``np.minimum.reduceat`` over the resident shard, no Python loops.
+  The driver folds the sparse minima and pointer-jumps the label
+  forest to closure, so rounds are O(log diameter), and the O(E)
+  edge rows never move after the initial placement.
+- **V above driver_fold_max_rows**: dataset propagation rounds — the
+  symmetric edge list is materialized once with a precomputed
+  ``hash(src) % B`` bucket column and each round co-groups it with
+  the current labels, followed by one POINTER-JUMP round
+  (label-of-label over the O(V) label table only), so chain-shaped
+  graphs converge in O(log diameter) rounds instead of O(diameter).
+  Honest cost note: Ray's ``groupby`` re-sorts the UNION each hook
+  round, so each hook re-shuffles the O(E) fixed-width edge rows —
+  the actor path above exists precisely to avoid that; this fallback
+  engages only when even the label table exceeds driver memory
+  discipline. The edge-REWRITING alternative for that regime is
+  large-star/small-star (Kiveris et al., "Connected Components in
+  MapReduce and Beyond", SoCC'14).
 
 Convergence is detected exactly: labels only ever DECREASE (each node's
 new label is min(own, incoming)), so the total label sum is strictly
@@ -104,6 +118,112 @@ def _min_rollup(ds, driver_fold_max_rows: int = 2_000_000):
     return ray.data.from_arrow(folded), total
 
 
+class _EdgeShardImpl:
+    """Resident edge shard for the label-only-exchange CC path.
+
+    ``__init__`` (once per actor): fetch the shard's edge blocks,
+    convert endpoints to indices into the sorted node array, sort by
+    destination and precompute segment starts — so every ``propagate``
+    is two C-level gathers + one ``np.minimum.reduceat``.
+    """
+
+    def __init__(self, block_refs, nodes):
+        # ``nodes`` is passed as a top-level ObjectRef and auto-resolved
+        # by Ray to a zero-copy plasma view; ``block_refs`` is a LIST of
+        # refs (deliberately nested so they are NOT resolved up front)
+        import ray
+
+        srcs, dsts = [], []
+        for t in ray.get(list(block_refs)):
+            if len(t):
+                srcs.append(
+                    np.searchsorted(
+                        nodes, t["src"].to_numpy(zero_copy_only=False)
+                    )
+                )
+                dsts.append(
+                    np.searchsorted(
+                        nodes, t["dst"].to_numpy(zero_copy_only=False)
+                    )
+                )
+        src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        order = np.argsort(dst, kind="stable")
+        dst_s = dst[order]
+        self._src_s = src[order]
+        if len(dst_s):
+            starts = np.flatnonzero(np.r_[True, dst_s[1:] != dst_s[:-1]])
+            self._uniq = dst_s[starts]
+            self._starts = starts
+        else:
+            self._uniq = np.empty(0, np.int64)
+            self._starts = np.empty(0, np.int64)
+
+    def propagate(self, lab: "np.ndarray"):
+        """One hook round over the resident shard: (distinct dst index,
+        min incoming label) — pre-reduced, so the reply is O(distinct
+        dst in shard), never O(shard edges)."""
+        if not len(self._uniq):
+            return self._uniq, self._uniq
+        return self._uniq, np.minimum.reduceat(lab[self._src_s], self._starts)
+
+
+def _actor_components(edges_raw, nodes: "np.ndarray", n_edges: int, max_iters: int):
+    """Distributed solve with label-only exchange (V bounded by
+    ``driver_fold_max_rows``, E unbounded): edge rows ship to resident
+    actors exactly once; each round moves 8·V label bytes out (one
+    ``ray.put``, zero-copy read per co-located actor) and the sparse
+    per-shard minima back. The driver folds and pointer-jumps to
+    closure, so rounds are O(log diameter)."""
+    import ray
+    import ray.data
+
+    from ._bucket import default_buckets
+
+    nodes_ref = ray.put(nodes)
+    refs = edges_raw.to_arrow_refs()
+    n_actors = max(1, min(len(refs), default_buckets(floor=1, est_rows=n_edges)))
+    shard_cls = ray.remote(num_cpus=1)(_EdgeShardImpl)
+    actors = [
+        shard_cls.remote(refs[i::n_actors], nodes_ref) for i in range(n_actors)
+    ]
+    try:
+        lab = np.arange(len(nodes), dtype=np.int64)
+        for _ in range(max_iters):
+            lab_ref = ray.put(lab)
+            futs = [a.propagate.remote(lab_ref) for a in actors]
+            new = lab.copy()
+            while futs:
+                done, futs = ray.wait(futs, num_returns=1)
+                uniq, red = ray.get(done[0])
+                new[uniq] = np.minimum(new[uniq], red)
+            while True:  # pointer-jump the label forest to closure
+                j = new[new]
+                if np.array_equal(j, new):
+                    break
+                new = j
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} "
+                "rounds — unreachable for any graph with ≤ 2^max_iters "
+                "nodes given per-round pointer jumping; raise max_iters"
+            )
+    finally:
+        for a in actors:
+            ray.kill(a)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "component": pa.array(nodes[lab], pa.int64()),
+            }
+        )
+    )
+
+
 def _driver_components(src: "np.ndarray", dst: "np.ndarray"):
     """Vectorized in-memory solve for small edge sets: hash-min label
     propagation with pointer jumping (Shiloach–Vishkin style), O(log n)
@@ -145,12 +265,15 @@ def connected_components(
     :func:`component_losers` does exactly that implicitly by treating
     absence as survival).
 
-    Below ``driver_fold_max_edges`` (the count_rollup small-fold
-    discipline) the materialized edge list solves on the driver with
-    vectorized hash-min + pointer jumping — O(log n) numpy rounds
-    instead of one full Ray execution per graph-diameter round; above
-    it, the distributed propagation runs. Both paths are exact and
-    pinned equal by tests.
+    Three regimes (module docstring for the full rationale): below
+    ``driver_fold_max_edges`` the materialized edge list solves on the
+    driver (vectorized hash-min + pointer jumping); above it, with the
+    node count ≤ ``driver_fold_max_rows``, the LABEL-ONLY-EXCHANGE
+    actor path runs (edges placed once, O(V) label broadcast per
+    round); only when even the node count exceeds the driver bound do
+    the dataset propagation rounds run (hook over the padded edge list
+    + pointer-jump rounds over the label table). All paths are exact
+    and pinned equal by tests.
 
     Node ids must be an integer type (they are compared with ``min`` and
     summed for the convergence check); dictionary-encode string ids
@@ -236,6 +359,34 @@ def connected_components(
             )
         )
 
+    # initial labels: every node labels itself (distinct src covers all
+    # nodes because the edge list is symmetric)
+    def self_label(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["src"]).aggregate([])
+        return pa.table({"node": g["src"], "label": g["src"]})
+
+    labels, prev_sum = _min_rollup(
+        edges_raw.map_batches(self_label, batch_format="pyarrow", **remote_env()),
+        driver_fold_max_rows,
+    )
+    if prev_sum is None:
+        labels = labels.materialize()
+    n_nodes = labels.count()
+    if n_nodes <= driver_fold_max_rows:
+        # the common dedup regime (V ≪ E): label-only exchange — the
+        # node array obeys the same driver-memory discipline as the
+        # count_rollup fold (≤ driver_fold_max_rows × 8 bytes)
+        parts = [
+            b["node"].combine_chunks().to_numpy(zero_copy_only=False)
+            for b in labels.iter_batches(batch_format="pyarrow", batch_size=None)
+        ]
+        nodes = np.sort(np.concatenate(parts))
+        return _actor_components(edges_raw, nodes, n_edges, max_iters)
+    if prev_sum is None:
+        prev_sum = _exact_label_sum(labels)
+
+    # huge-V fallback: dataset propagation rounds (hook over the padded
+    # edge list + one pointer-jump round over the label table)
     # the edge count is free once materialized — resolve the bucket
     # count rows-aware even though the input was a transformed Dataset
     if buckets is None:
@@ -256,20 +407,6 @@ def connected_components(
         pad_edges, batch_format="pyarrow", **remote_env()
     ).materialize()
 
-    # initial labels: every node labels itself (distinct src covers all
-    # nodes because the edge list is symmetric)
-    def self_label(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["src"]).aggregate([])
-        return pa.table({"node": g["src"], "label": g["src"]})
-
-    labels, prev_sum = _min_rollup(
-        edges_raw.map_batches(self_label, batch_format="pyarrow", **remote_env()),
-        driver_fold_max_rows,
-    )
-    if prev_sum is None:
-        labels = labels.materialize()
-        prev_sum = _exact_label_sum(labels)
-
     def pad_labels(batch: pa.Table) -> pa.Table:
         t = pa.table({"src": batch["node"]})  # hashed on the same key name
         return pa.table(
@@ -278,6 +415,21 @@ def connected_components(
                 "dst": pa.nulls(len(batch), pa.int64()),
                 "label": batch["label"],
                 "__side": pa.array(np.ones(len(batch), dtype=np.int8)),
+                "__bucket": bucket_column(t, ["src"], buckets),
+            }
+        )
+
+    def pad_jump_edges(batch: pa.Table) -> pa.Table:
+        # the label table REINTERPRETED as directed edges label → node:
+        # co-grouping them with the labels themselves delivers
+        # label[label[node]] — one pointer jump, O(V) rows only
+        t = pa.table({"src": batch["label"]})
+        return pa.table(
+            {
+                "src": batch["label"],
+                "dst": batch["node"],
+                "label": pa.nulls(len(batch), pa.int64()),
+                "__side": pa.array(np.zeros(len(batch), dtype=np.int8)),
                 "__bucket": bucket_column(t, ["src"], buckets),
             }
         )
@@ -296,27 +448,56 @@ def connected_components(
         )
         return msg
 
-    for _ in range(max_iters):
-        tagged_labels = labels.map_batches(
+    # block-count discipline for the iterated label table: a sort-based
+    # shuffle emits ~as many blocks as it receives, so without a bound
+    # the recurrence blocks(labels)' = blocks(edges) + 2·blocks(labels)
+    # grows EXPONENTIALLY across rounds (measured: 121 label rows spread
+    # over 1555 blocks by round 6 — 1555 tasks per tiny map). Coalesce
+    # the materialized labels whenever they fragment past 2× the bucket
+    # fan-out; one bounded O(V) exchange per round buys back thousands
+    # of per-block task launches.
+    label_blocks = max(1, min(int(buckets), 64))
+
+    def one_round(edge_side, labels_in):
+        tagged = labels_in.map_batches(
             pad_labels, batch_format="pyarrow", **remote_env()
         )
         msgs = (
-            edges_padded.union(tagged_labels)
+            edge_side.union(tagged)
             .groupby("__bucket")
             .map_groups(propagate, batch_format="pyarrow", **remote_env())
         )
-        labels, new_sum = _min_rollup(msgs.union(labels), driver_fold_max_rows)
-        if new_sum is None:
-            labels = labels.materialize()
-            new_sum = _exact_label_sum(labels)
-        if new_sum == prev_sum:
+        new_labels, s = _min_rollup(msgs.union(labels_in), driver_fold_max_rows)
+        if s is None:
+            new_labels = new_labels.materialize()
+            if new_labels.num_blocks() > 2 * label_blocks:
+                new_labels = new_labels.repartition(label_blocks).materialize()
+            s = _exact_label_sum(new_labels)
+        return new_labels, s
+
+    for it in range(max_iters):
+        # hook: propagate along the resident real edges
+        labels, hook_sum = one_round(edges_padded, labels)
+        if hook_sum == prev_sum:
+            # hook fixpoint ⇒ labels constant per component ⇒ done (a
+            # jump could not change anything either)
             break
-        prev_sum = new_sum
+        prev_sum = hook_sum
+        if it == 0:
+            # near-clique dedup graphs converge in 1-2 hooks — don't pay
+            # a jump exchange before the second hook has even run
+            continue
+        # compress: one pointer jump — only the O(V) label table moves,
+        # so chain-shaped graphs converge in O(log diameter) rounds
+        jump_edges = labels.map_batches(
+            pad_jump_edges, batch_format="pyarrow", **remote_env()
+        )
+        labels, prev_sum = one_round(jump_edges, labels)
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds "
-            "(graph diameter exceeds max_iters — raise it, or use a "
-            "doubling scheme for chain-shaped graphs)"
+            "(with per-round pointer jumping this needs a graph of "
+            "diameter ≳ 2^max_iters — raise max_iters)"
         )
 
     def rename(batch: pa.Table) -> pa.Table:

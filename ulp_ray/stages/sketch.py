@@ -350,12 +350,14 @@ def grouped_quantile_sketch(
         out[name] = np.asarray(ests, dtype=np.float64)
         return out
 
-    # final read-off: the histogram is tiny (keys × bins) — co-group by
-    # key hash bucket, vectorized within
-    from ._bucket import with_bucket
+    # final read-off: the histogram is tiny (≤ keys × bins rows) — co-group
+    # by key hash bucket, vectorized within. The row bound is free on the
+    # driver (the bounds frame IS the key set), so the bucket count goes
+    # through the standard rows-aware resolution instead of a literal.
+    from ._bucket import default_buckets, with_bucket
 
     return (
-        with_bucket(hist, ["__mk"], 64)
+        with_bucket(hist, ["__mk"], default_buckets(est_rows=len(bounds) * bins))
         .groupby("__bucket")
         .map_groups(quantiles, batch_format="pandas", **remote_env())
     )
@@ -468,8 +470,6 @@ def grouped_heavy_hitters(
 
     import pyarrow.compute as pc
 
-    from ._bucket import key_hash_u64
-
     def partial(batch: pa.Table) -> pa.Table:
         if values_fn:
             expanded = values_fn(batch)
@@ -497,7 +497,18 @@ def grouped_heavy_hitters(
                     "est": pa.array([], pa.int64()),
                 }
             )
-        gh = key_hash_u64(g[group_col].combine_chunks())
+        # segment by the ACTUAL group value via dictionary encoding —
+        # indices are unique per distinct value within the block, so two
+        # distinct groups can never merge their MG reductions (a raw
+        # 64-bit hash admits a 2^-64 collision that would under-estimate)
+        gh = (
+            g[group_col]
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         # group-major, count-descending order; one C-level pass
         order = np.lexsort((-cnt, gh))
         gh_s, cnt_s = gh[order], cnt[order]
