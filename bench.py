@@ -155,6 +155,7 @@ def run_bench() -> dict:
         "ngram_jaccard_pairs_docs",
         "neardup_components_docs",
         "semi_join_orders_rich_bloom",
+        "semi_join_orders_rich_bloom_forced",
         "heavy_hitters_tokens_docs",
         "bm25_topk_docs",
     ):
@@ -184,15 +185,20 @@ def run_bench() -> dict:
     # suite's object-store churn nor the leg's own contaminates the
     # other (the prior in-process run read 2.2× its standalone wall)
     if run_10m:
-        leg = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--flagship-10m-leg"],
-            env=dict(os.environ),
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        result.update(json.loads(leg.strip().splitlines()[-1]))
+        try:
+            leg = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--flagship-10m-leg"],
+                env=dict(os.environ),
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            result.update(json.loads(leg.strip().splitlines()[-1]))
+        except (subprocess.CalledProcessError, ValueError, IndexError) as e:
+            # a failed 10M leg must not cost the whole artifact
+            detail = getattr(e, "stderr", "") or str(e)
+            result["flagship_10m_error"] = detail[-500:]
     return result
 
 

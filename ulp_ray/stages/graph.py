@@ -178,11 +178,18 @@ def _actor_components(edges_raw, nodes: "np.ndarray", n_edges: int, max_iters: i
     import ray
     import ray.data
 
-    from ._bucket import default_buckets
-
     nodes_ref = ray.put(nodes)
     refs = edges_raw.to_arrow_refs()
-    n_actors = max(1, min(len(refs), default_buckets(floor=1, est_rows=n_edges)))
+    # actors RESERVE their CPU for their whole lifetime (unlike tasks),
+    # so the pool must never exceed the cluster's CPU count: a pool of
+    # cpus×k would leave (k−1)/k of the actors pending forever and their
+    # propagate futures unresolvable. Also bound by shard usefulness
+    # (≥ ~250k edges per actor) so tiny graphs don't spawn idle actors.
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 1))
+    except Exception:  # pragma: no cover - cluster probe
+        cpus = 1
+    n_actors = max(1, min(len(refs), cpus, -(-n_edges // 250_000)))
     shard_cls = ray.remote(num_cpus=1)(_EdgeShardImpl)
     actors = [
         shard_cls.remote(refs[i::n_actors], nodes_ref) for i in range(n_actors)
