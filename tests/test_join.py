@@ -202,3 +202,72 @@ def test_bucketed_semi_join(sides, ray_session):
     )
     got = bucketed_semi_join(left_null, keep, on="o_custkey", right_on="good_key").take_all()
     assert [r["o_custkey"] for r in got] == [1]
+
+
+def test_outer_and_right_join_sql_null_semantics(ray_session):
+    """FULL OUTER / RIGHT joins vs a DuckDB oracle, including NULL join
+    keys — SQL: a null key matches NOTHING (pandas merge would pair NaN
+    keys; the stage splits them out and preserves them unmatched)."""
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    lk = [int(x) for x in rng.integers(0, 8, size=30)]
+    rk = [int(x) for x in rng.integers(0, 8, size=10)]
+    left = pa.table(
+        {
+            "k": pa.array(lk[:-2] + [None, None], pa.int64()),
+            "lv": pa.array(range(30), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(rk[:-1] + [None], pa.int64()),
+            "rv": pa.array(range(100, 110), pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("l", left.to_pandas())
+    con.register("r", right.to_pandas())
+    for how, sql in [
+        (
+            "outer",
+            "SELECT COALESCE(l.k, r.k) AS k, l.lv, r.rv "
+            "FROM l FULL JOIN r ON l.k = r.k",
+        ),
+        (
+            "right",
+            "SELECT r.k AS k, l.lv, r.rv FROM l RIGHT JOIN r ON l.k = r.k",
+        ),
+    ]:
+        got = (
+            bucketed_hash_join(
+                ray.data.from_arrow(left),
+                ray.data.from_arrow(right),
+                on="k",
+                how=how,
+            )
+            .to_pandas()
+            .astype("float64")
+            .sort_values(["k", "lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        want = (
+            con.sql(sql)
+            .df()
+            .astype("float64")
+            .sort_values(["k", "lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["k", "lv", "rv"]], want[["k", "lv", "rv"]], check_dtype=False
+        )
+
+
+def test_bucketed_hash_join_rejects_unknown_how(ray_session):
+    import ray.data
+
+    t = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError, match="how must be"):
+        bucketed_hash_join(t, t, on="k", how="cross")

@@ -194,3 +194,43 @@ def test_hash_split_write_rerun_is_byte_identical(ray_session, tmp_path):
     # a changed layout removes stale split dirs
     hash_split_write(ray.data.from_arrow(t), "doc_id", {"all": 1.0}, out)
     assert not os.path.isdir(os.path.join(out, "__split=train"))
+
+
+def test_grouped_sample_deterministic_fixed_size(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ulp_ray.stages.split import grouped_sample
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 5, size=300)
+    t = pa.table(
+        {
+            "g": pa.array([f"g{x}" for x in g]),
+            "id": pa.array(np.arange(300, dtype=np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    a = grouped_sample(ds, "g", "id", k=10).to_pandas()
+    b = grouped_sample(ds, "g", "id", k=10).to_pandas()
+    # deterministic across runs
+    assert sorted(a["id"]) == sorted(b["id"])
+    # exactly min(k, group size) rows per group
+    sizes = a.groupby("g").size()
+    import pandas as pd
+
+    full = pd.Series(g).value_counts()
+    for name, cnt in sizes.items():
+        assert cnt == min(10, int(full[int(name[1:])]))
+    # matches the SQL-twin definition (Knuth hash order)
+    import pandas as pd
+
+    df = t.to_pandas()
+    df["h"] = (df["id"].to_numpy(np.uint64) * np.uint64(2654435761)) % np.uint64(
+        1 << 32
+    )
+    want = (
+        df.sort_values(["h", "id"]).groupby("g").head(10)["id"].sort_values().tolist()
+    )
+    assert sorted(a["id"]) == want

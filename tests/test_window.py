@@ -394,3 +394,67 @@ def test_edge_value_matches_duckdb_including_null_edges(ray_session):
 
     with pytest.raises(ValueError, match="edge must be"):
         edge_value_column(ds, "k", ["o"], "v", edge="middle")
+
+
+def test_rolling_time_aggregate_vs_duckdb(ray_session):
+    """Event-time RANGE frame vs DuckDB's RANGE BETWEEN INTERVAL window,
+    including timestamp ties (peers share the frame), null values
+    (skipped by SUM/COUNT) and null timestamps (the NULL peer group)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ulp_ray.stages.window import rolling_time_aggregate
+
+    rng = np.random.default_rng(9)
+    n = 400
+    base = pd.Timestamp("2024-05-01")
+    secs = rng.integers(0, 3600 * 6, size=n)
+    ts = [base + pd.Timedelta(seconds=int(s)) for s in secs]
+    # plant ties and null timestamps / null values
+    ts[10] = ts[11] = ts[12]
+    ts[20] = None
+    ts[21] = None
+    vals = rng.integers(-50, 100, size=n).astype("float64")
+    vals[[5, 13, 21]] = np.nan
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 12, size=n),
+            "ts": pd.to_datetime(ts),
+            "v": vals,
+            "rid": np.arange(n),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    got = (
+        rolling_time_aggregate(ds, "u", "ts", "v", window_s=1800, agg="sum")
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    got_cnt = (
+        rolling_time_aggregate(
+            ds, "u", "ts", "v", window_s=1800, agg="count", out_col="c"
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        "SELECT rid, SUM(v) OVER w AS s, COUNT(v) OVER w AS c FROM t "
+        "WINDOW w AS (PARTITION BY u ORDER BY ts RANGE BETWEEN "
+        "INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW) ORDER BY rid"
+    ).df()
+    pd.testing.assert_series_equal(
+        got["rolling_sum_v"].astype("float64"),
+        want["s"].astype("float64"),
+        check_names=False,
+    )
+    pd.testing.assert_series_equal(
+        got_cnt["c"].astype("int64"),
+        want["c"].astype("int64"),
+        check_names=False,
+    )

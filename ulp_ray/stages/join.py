@@ -81,11 +81,25 @@ def bucketed_hash_join(
     """Explicit partitioned hash join: both sides bucketed on
     ``hash(key) % buckets``, co-grouped, merged per bucket with pandas.
 
+    ``how`` ∈ {"inner", "left", "right", "outer"} with SQL semantics —
+    including NULL keys: a null join key matches nothing (null-key rows
+    are split out before the per-bucket pandas merge, which would
+    otherwise pair NaN keys with each other, and re-appended unmatched
+    on the side(s) the join form preserves). Unmatched rows carry the
+    other side's columns as nulls, which floats the other side's int
+    columns in the pandas output — SQL-compatible, but select/cast
+    downstream if exact integer dtypes matter.
+
     Partitioning assumption (documented per SURVEY.md): rows join only
-    within their bucket — correct because both sides use the same hash;
-    a hot key concentrates its bucket, so pick ``buckets`` ≳ 4× CPUs and
+    within their bucket — correct because both sides use the same hash
+    (nulls share a sentinel hash, harmless since they never merge); a
+    hot key concentrates its bucket, so pick ``buckets`` ≳ 4× CPUs and
     salt upstream if one key dominates.
     """
+    if how not in ("inner", "left", "right", "outer"):
+        raise ValueError(
+            f"how must be inner/left/right/outer, got {how!r}"
+        )
     on_cols = [on] if isinstance(on, str) else list(on)
     # the pandas per-bucket merge rejects mismatched key dtypes (int64 vs
     # float64) — require equal dtypes up front for a clear error
@@ -159,7 +173,31 @@ def bucketed_hash_join(
 
         lg = g.filter(pc.equal(g["__side"], "l")).select(on_cols + l_only)
         rg = g.filter(pc.equal(g["__side"], "r")).select(on_cols + r_only)
-        out = lg.to_pandas().merge(rg.to_pandas(), on=on_cols, how=how)
+
+        # SQL null semantics: a NULL join key matches NOTHING. pandas
+        # merge pairs NaN keys with each other, so null-key rows are
+        # split out BEFORE the merge and re-appended (unmatched, with
+        # the other side's columns null) on whichever side the join
+        # form preserves.
+        def null_mask(t: pa.Table):
+            m = pc.is_null(t[on_cols[0]])
+            for c in on_cols[1:]:
+                m = pc.or_(m, pc.is_null(t[c]))
+            return m
+
+        lm, rm = null_mask(lg), null_mask(rg)
+        out = (
+            lg.filter(pc.invert(lm))
+            .to_pandas()
+            .merge(rg.filter(pc.invert(rm)).to_pandas(), on=on_cols, how=how)
+        )
+        extras = []
+        if how in ("left", "outer") and pc.any(lm).as_py():
+            extras.append(lg.filter(lm).to_pandas())
+        if how in ("right", "outer") and pc.any(rm).as_py():
+            extras.append(rg.filter(rm).to_pandas())
+        if extras:
+            out = pd.concat([out, *extras], ignore_index=True)
         # drop the b'pandas' schema metadata from_pandas attaches: it
         # contains a dict, which makes the schema unhashable and trips
         # Ray's schema-dedup ("Failed to hash the schemas") downstream

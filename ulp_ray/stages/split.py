@@ -19,7 +19,7 @@ import pyarrow as pa
 from .._env import remote_env
 from ._bucket import key_hash_u64
 
-__all__ = ["hash_split", "deterministic_sample", "stratified_sample"]
+__all__ = ["hash_split", "deterministic_sample", "stratified_sample", "grouped_sample"]
 
 _SCALE = float(1 << 64)
 
@@ -171,3 +171,51 @@ def stratified_sample(
         return batch.filter(pa.array(u < thresh))
 
     return ds.map_batches(fn, batch_format="pyarrow", **remote_env())
+
+
+def grouped_sample(
+    ds,
+    group_col: str,
+    id_col: str,
+    k: int,
+    buckets: int | None = None,
+):
+    """Deterministic fixed-size per-group sample: the ``k`` rows of each
+    group with the smallest Knuth multiplicative hash of ``id_col``
+    (``(id · 2654435761) mod 2³²``, ties broken by id) — per-source /
+    per-language downsampling with an exact SQL twin (the hash is plain
+    integer arithmetic both engines compute identically, unlike the
+    64-bit engine hash the split operators use).
+
+    Scale shape: the existing :func:`~.window.grouped_rank` co-group —
+    one ``hash(group) % B`` exchange, a vectorized row_number per
+    bucket, then a filter. Groups smaller than ``k`` pass through
+    whole. ``id_col`` must be integral and unique for the sample (and
+    its SQL twin) to be well-defined.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from .window import grouped_rank
+
+    def add_hkey(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return batch.append_column("__hkey", pa.array(h.astype(np.int64)))
+
+    keyed = ds.map_batches(add_hkey, batch_format="pyarrow", **remote_env())
+    ranked = grouped_rank(
+        keyed,
+        [group_col],
+        ["__hkey", id_col],
+        method="row_number",
+        out_col="__rn",
+        buckets=buckets,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = batch.filter(pc.less_equal(batch["__rn"], k))
+        return out.drop_columns(["__hkey", "__rn"])
+
+    return ranked.map_batches(finish, batch_format="pyarrow", **remote_env())

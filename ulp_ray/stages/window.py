@@ -37,6 +37,7 @@ __all__ = [
     "session_windows",
     "running_aggregate",
     "rolling_aggregate",
+    "rolling_time_aggregate",
     "grouped_rank",
     "lag_column",
     "edge_value_column",
@@ -194,6 +195,106 @@ def rolling_aggregate(
         g[name] = rolled.droplevel(0)
         if agg == "count":
             g[name] = g[name].astype(np.int64)
+        return g
+
+    return (
+        with_bucket(ds, [key], buckets)
+        .groupby("__bucket")
+        .map_groups(run, batch_format="pandas", **remote_env())
+    )
+
+
+def rolling_time_aggregate(
+    ds,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    window_s: float,
+    agg: str = "sum",
+    out_col: str | None = None,
+    buckets: int | None = None,
+):
+    """Per-key rolling EVENT-TIME range-frame aggregate — the SQL
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN INTERVAL
+    w PRECEDING AND CURRENT ROW)`` shape (``agg``: ``sum`` / ``count``).
+    Standard RANGE-frame peer semantics: every row whose ``ts`` lies in
+    ``[cur_ts − w, cur_ts]`` contributes, so tied timestamps within a
+    key all receive the same value regardless of physical order — which
+    is also what makes the output deterministic without a tiebreaker
+    (unlike the row-frame :func:`rolling_aggregate`).
+
+    In-bucket body is fully vectorized across keys: one stable sort by
+    (key, ts), then each key segment's timestamps are lifted onto a
+    disjoint numeric band (segment_index × span, span > any in-key time
+    range + window) so a SINGLE pair of ``np.searchsorted`` calls finds
+    every row's frame bounds and a prefix-sum difference evaluates the
+    aggregate — no per-key Python. Null timestamps follow SQL: they
+    form the NULL peer group (all null-ts rows of a key aggregate over
+    exactly the null-ts rows). Null values are skipped by ``sum`` and
+    ``count`` (count counts non-null values, COUNT(v) semantics).
+    """
+    if agg not in ("sum", "count"):
+        raise ValueError(f"unsupported rolling time agg {agg!r}")
+    if window_s < 0:
+        raise ValueError("window_s must be >= 0")
+    name = out_col or f"rolling_{agg}_{value_col}"
+    if name in ds.schema().names:
+        raise ValueError(
+            f"out_col {name!r} collides with an input column — pass out_col"
+        )
+
+    from ._bucket import with_bucket
+
+    win_us = np.int64(round(window_s * 1_000_000))
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col], kind="stable").drop(columns="__bucket")
+        n = len(g)
+        if n == 0:
+            g[name] = pd.Series([], dtype="float64" if agg == "sum" else "int64")
+            return g
+        ts_null = pd.isna(g[ts_col]).to_numpy()
+        ts = g[ts_col].to_numpy()
+        if np.issubdtype(ts.dtype, np.datetime64):
+            ts64 = ts.astype("datetime64[us]").astype(np.int64)
+        else:
+            ts64 = (ts.astype(np.float64) * 1_000_000).astype(np.int64)
+        # re-base non-null timestamps to [0, range]; null-ts rows sit at
+        # range + win + 1 — their own peer band inside the segment,
+        # farther than the window from any real timestamp (NaT's int64
+        # sentinel must never reach the arithmetic below)
+        base = ts64[~ts_null].min() if (~ts_null).any() else np.int64(0)
+        rng = (
+            np.int64(ts64[~ts_null].max() - base) if (~ts_null).any() else np.int64(0)
+        )
+        if ts_null.any():  # neutralize NaT's int64 sentinel pre-subtraction
+            ts64 = np.where(ts_null, base, ts64)
+        rel = np.where(ts_null, rng + win_us + 1, ts64 - base)
+        # key segments: the sort is key-major, so segment = key run
+        keys = g[key].to_numpy()
+        knull = pd.isna(g[key]).to_numpy()
+        change = np.r_[
+            True, (keys[1:] != keys[:-1]) & ~(knull[1:] & knull[:-1])
+        ]
+        seg_id = np.cumsum(change) - 1
+        # lift each segment onto a disjoint band so ONE global
+        # searchsorted respects segment boundaries (sort order: NaT/NaN
+        # last within a key, so `lifted` is non-decreasing)
+        span = rng + np.int64(2) * (win_us + 1) + 2
+        lifted = rel + seg_id * span
+        vals = g[value_col].to_numpy()
+        vnull = pd.isna(g[value_col]).to_numpy()
+        vf = np.where(vnull, 0.0, vals.astype(np.float64))
+        csum = np.concatenate([[0.0], np.cumsum(vf)])
+        ccnt = np.concatenate([[0], np.cumsum((~vnull).astype(np.int64))])
+        lo = np.searchsorted(lifted, lifted - win_us, side="left")
+        hi = np.searchsorted(lifted, lifted, side="right")
+        if agg == "sum":
+            out = csum[hi] - csum[lo]
+            cnt = ccnt[hi] - ccnt[lo]
+            g[name] = np.where(cnt > 0, out, np.nan)  # all-null frame → NULL
+        else:
+            g[name] = (ccnt[hi] - ccnt[lo]).astype(np.int64)
         return g
 
     return (
