@@ -447,3 +447,51 @@ def test_tokenizer_lockstep_unicode_whitespace(ray_session):
     )
     assert got == want
     assert "nbsp joined" in got  # the divergence the fix closes
+
+
+def test_bigram_logprob_matches_duckdb(docs):
+    """Add-one smoothed corpus bigram LM avg log-prob per doc vs an
+    exact-formula DuckDB twin; single-token/empty/null docs are absent
+    (no bigrams)."""
+    import duckdb
+
+    from ulp_ray.stages.vocab import bigram_logprob
+
+    ds, t = docs
+    got = (
+        bigram_logprob(ds, "text", "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    exp = con.execute(
+        "WITH l AS (SELECT doc_id, "
+        "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') "
+        "AS ts FROM documents), "
+        "bg AS (SELECT doc_id, ts[i] AS w1, "
+        "ts[i] || ' ' || ts[i+1] AS ngram FROM l, "
+        "UNNEST(generate_series(1, len(ts)-1)) AS g(i)), "
+        "bc AS (SELECT ngram, COUNT(*) AS cb FROM bg GROUP BY ngram), "
+        "uc AS (SELECT w1, COUNT(*) AS cu FROM (SELECT ts[i] AS w1 "
+        "FROM l, UNNEST(generate_series(1, len(ts))) AS g(i)) GROUP BY w1), "
+        "v AS (SELECT COUNT(*) AS vs FROM uc) "
+        "SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+        "ROUND(AVG(LN(CAST(bc.cb + 1 AS DOUBLE) / (uc.cu + v.vs))), 4) "
+        "AS avg_logprob "
+        "FROM bg JOIN bc USING (ngram) JOIN uc USING (w1) CROSS JOIN v "
+        "GROUP BY bg.doc_id ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # hand check one doc: "cat cat cat" = 2x bigram "cat cat"
+    # C(cat cat)=2, C(cat)=4 (3 here + 1 in doc 0), V=distinct tokens
+    vs = con.execute(
+        "SELECT COUNT(DISTINCT token) FROM (SELECT unnest("
+        "regexp_split_to_array(text, '\\s+')) AS token FROM documents) "
+        "WHERE token <> ''"
+    ).fetchone()[0]
+    want = round(np.log((2 + 1) / (4 + vs)), 4)
+    row = got[got["doc_id"] == 3]
+    assert row["n_bigrams"].iloc[0] == 2
+    assert abs(row["avg_logprob"].iloc[0] - want) < 1e-9

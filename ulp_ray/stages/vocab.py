@@ -24,7 +24,14 @@ import pyarrow.compute as pc
 
 from .._env import remote_env
 
-__all__ = ["vocabulary", "grouped_vocabulary", "ngram_counts", "doc_frequency", "doc_term_stats"]
+__all__ = [
+    "vocabulary",
+    "grouped_vocabulary",
+    "ngram_counts",
+    "doc_frequency",
+    "doc_term_stats",
+    "bigram_logprob",
+]
 
 
 def _flat_tokens(col) -> pa.Array:
@@ -220,3 +227,151 @@ def doc_term_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
     df = doc_frequency(ds, text_col=text_col)
     return bucketed_hash_join(tf, df, on="token")
+
+
+def bigram_logprob(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decimals: int = 4,
+):
+    """Per-document average bigram log-probability under an add-one
+    (Laplace) smoothed bigram LM estimated on the corpus itself — the
+    classic perplexity-style quality/fluency signal (low scores mark
+    gibberish or highly atypical text; perplexity filtering per
+    Wenzek et al., CCNet, LREC'20, with the corpus standing in for the
+    held-out LM). Dataset ``(id_col, n_bigrams, avg_logprob)``::
+
+        avg_logprob(d) = round( (1/B_d) · Σ_{bigrams (w1,w2) of d}
+                                ln( (C(w1 w2) + 1) / (C(w1) + V) ),
+                          decimals)
+
+    with corpus bigram counts ``C(w1 w2)``, unigram counts ``C(w1)``,
+    vocabulary size ``V``, and ``B_d`` the document's bigram count.
+    Documents with fewer than two tokens have no bigrams and are absent
+    (SQL AVG-over-empty-group semantics). Rounding is half-away to
+    match DuckDB ``ROUND``; the only FP hazard is summation-order
+    last-digits, same documented contract as the BM25 scorer.
+
+    Scale shape: two corpus folds (the :func:`vocabulary` and
+    :func:`ngram_counts` partial+Sum shapes — raw text never shuffles),
+    one count aggregate for V, a per-block (doc, bigram, w1, tf) Arrow
+    hash-aggregate, two token-keyed ``bucketed_hash_join`` exchanges
+    over fixed-width count rows, and a per-doc float ``sum_rollup``.
+    At 100 TB the count tables are large but fixed-width; nothing
+    materializes beyond ``sum_rollup``'s bounded driver fold.
+    """
+    from .aggregate import sum_rollup
+    from .join import bucketed_hash_join
+
+    uni = vocabulary(ds, text_col=text_col)
+    big = ngram_counts(ds, text_col=text_col, n=2)
+    # V is a driver scalar, but the fold that produces it is distributed
+    vocab_size = float(uni.count())
+
+    s = ds.schema()  # Ray Data Schema: parallel names/types lists
+    id_type = dict(zip(s.names, s.types))[id_col]
+    tf_schema = pa.schema(
+        [
+            (id_col, id_type),
+            ("ngram", pa.string()),
+            ("w1", pa.string()),
+            ("tf", pa.int64()),
+        ]
+    )
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        from ._tokens import flat_tokens
+
+        flat, par = flat_tokens(batch[text_col])
+        total = len(flat)
+        if total < 2:
+            return tf_schema.empty_table()
+        same_row = par[:-1] == par[1:]
+        mask = pa.array(same_row)
+        grams = pc.binary_join_element_wise(
+            flat.slice(0, total - 1), flat.slice(1, total - 1), " "
+        ).filter(mask)
+        w1 = flat.slice(0, total - 1).filter(mask)
+        ids = batch[id_col].take(pa.array(par[:-1][same_row]))
+        t = pa.table(
+            {
+                id_col: ids,
+                "ngram": pc.cast(grams, pa.string()),
+                "w1": pc.cast(w1, pa.string()),
+            }
+        )
+        # w1 is the ngram's first token (functionally dependent), so
+        # grouping by all three == grouping by (id, ngram)
+        g = t.group_by([id_col, "ngram", "w1"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                id_col: g[id_col],
+                "ngram": g["ngram"],
+                "w1": g["w1"],
+                "tf": pc.cast(g["count_all"], pa.int64()),
+            },
+            schema=tf_schema,
+        )
+
+    tf = ds.map_batches(
+        tf_partial, batch_format="pyarrow", batch_size=None, **remote_env()
+    )
+
+    def rename(names):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(names)
+
+        return fn
+
+    big_cb = big.map_batches(rename(["ngram", "cb"]), batch_format="pyarrow", **remote_env())
+    uni_cu = uni.map_batches(rename(["w1", "cu"]), batch_format="pyarrow", **remote_env())
+    joined = bucketed_hash_join(
+        bucketed_hash_join(tf, big_cb, on="ngram"), uni_cu, on="w1"
+    )
+
+    def lp_partial(batch: pa.Table) -> pa.Table:
+        tfv = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cb = batch["cb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cu = batch["cu"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lp = tfv * np.log((cb + 1.0) / (cu + vocab_size))
+        t = pa.table(
+            {
+                id_col: batch[id_col],
+                "lp_sum": pa.array(lp, pa.float64()),
+                "n_bigrams": batch["tf"],
+            }
+        )
+        g = t.group_by([id_col]).aggregate([("lp_sum", "sum"), ("n_bigrams", "sum")])
+        return pa.table(
+            {
+                id_col: g[id_col],
+                "lp_sum": g["lp_sum_sum"],
+                "n_bigrams": g["n_bigrams_sum"],
+            }
+        )
+
+    folded = sum_rollup(
+        joined.map_batches(
+            lp_partial, batch_format="pyarrow", batch_size=None, **remote_env()
+        ),
+        [id_col],
+        ["lp_sum", "n_bigrams"],
+        count_col=None,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        avg = pc.divide(
+            batch["lp_sum"], pc.cast(batch["n_bigrams"], pa.float64())
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_bigrams": pc.cast(batch["n_bigrams"], pa.int64()),
+                "avg_logprob": pc.round(
+                    avg, ndigits=decimals, round_mode="half_towards_infinity"
+                ),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow", **remote_env())
