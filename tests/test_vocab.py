@@ -495,3 +495,56 @@ def test_bigram_logprob_matches_duckdb(docs):
     row = got[got["doc_id"] == 3]
     assert row["n_bigrams"].iloc[0] == 2
     assert abs(row["avg_logprob"].iloc[0] - want) < 1e-9
+
+
+def test_duplicated_window_stats_matches_duckdb(ray_session):
+    """Corpus-duplicated n-token windows per doc vs an exact integer
+    DuckDB twin; planted cross-doc and within-doc duplicate windows."""
+    import duckdb
+    import ray.data
+
+    from ulp_ray.stages.vocab import duplicated_window_stats
+
+    texts = [
+        "a b c d e f g",        # windows: "a b c", "b c d", ...
+        "x y z a b c d q",      # shares "a b c" and "b c d" with doc 0
+        "r r r r r r",          # within-doc repeated window "r r r" x4
+        "short one",            # < 3 tokens: no windows, absent
+        None,
+        "p q r s",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = (
+        duplicated_window_stats(ds, "text", "doc_id", n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    exp = con.execute(
+        "WITH l AS (SELECT doc_id, "
+        "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') "
+        "AS ts FROM documents), "
+        "w AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] "
+        "AS ngram FROM l, UNNEST(generate_series(1, len(ts)-2)) AS g(i)), "
+        "c AS (SELECT ngram, COUNT(*) AS cn FROM w GROUP BY ngram) "
+        "SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows, "
+        "CAST(SUM(CASE WHEN c.cn >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_dup_windows FROM w JOIN c USING (ngram) "
+        "GROUP BY w.doc_id ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # hand checks: doc 2 "r r r r r r" has 4 windows, all the same
+    # trigram -> all 4 duplicated; doc 3/4 absent; doc 5 has no dups
+    row2 = got[got["doc_id"] == 2].iloc[0]
+    assert (row2["n_windows"], row2["n_dup_windows"]) == (4, 4)
+    assert 3 not in set(got["doc_id"]) and 4 not in set(got["doc_id"])
+    row5 = got[got["doc_id"] == 5].iloc[0]
+    assert (row5["n_windows"], row5["n_dup_windows"]) == (2, 0)

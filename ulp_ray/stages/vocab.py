@@ -31,6 +31,7 @@ __all__ = [
     "doc_frequency",
     "doc_term_stats",
     "bigram_logprob",
+    "duplicated_window_stats",
 ]
 
 
@@ -375,3 +376,105 @@ def bigram_logprob(
         )
 
     return folded.map_batches(finish, batch_format="pyarrow", **remote_env())
+
+
+def duplicated_window_stats(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_dup: int = 2,
+):
+    """Corpus-wide duplicated-substring statistics per document: for
+    each doc, how many of its word-``n``-gram windows occur at least
+    ``min_dup`` times in the WHOLE corpus — the exact-substring
+    duplication signal of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" (ACL'22), at word-window granularity
+    (their 50-token suffix-array spans ≈ ``n=50`` here). Dataset
+    ``(id_col, n_windows, n_dup_windows)`` — all integers, exactly
+    oracle-comparable; documents with fewer than ``n`` tokens have no
+    windows and are absent.
+
+    Scale shape: one corpus window fold (:func:`ngram_counts` with
+    ``min_count=min_dup`` — only corpus-duplicated windows survive to
+    the join), one per-block (doc, window, tf) Arrow hash-aggregate
+    materialized ONCE for its two consumers, a window-keyed
+    ``bucketed_hash_join`` against the duplicated-window set, and two
+    per-doc integer rollups stitched with a left join. Window strings
+    (~``n``×word bytes) are the exchange payload; at very large ``n``
+    hash the windows upstream if the 2⁻⁶⁴-collision caveat is
+    acceptable — the default stays exact.
+    """
+    from .aggregate import sum_rollup
+    from .join import bucketed_hash_join
+
+    dup = ngram_counts(ds, text_col=text_col, n=n, min_count=min_dup)
+
+    s = ds.schema()
+    id_type = dict(zip(s.names, s.types))[id_col]
+    tf_schema = pa.schema(
+        [(id_col, id_type), ("ngram", pa.string()), ("tf", pa.int64())]
+    )
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        from ._tokens import flat_tokens, word_ngrams_flat
+
+        flat, par = flat_tokens(batch[text_col])
+        grams, gpar = word_ngrams_flat(flat, par, n)
+        if len(grams) == 0:
+            return tf_schema.empty_table()
+        ids = batch[id_col].take(pa.array(gpar))
+        t = pa.table({id_col: ids, "ngram": grams})
+        g = t.group_by([id_col, "ngram"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                id_col: g[id_col],
+                "ngram": g["ngram"],
+                "tf": pc.cast(g["count_all"], pa.int64()),
+            },
+            schema=tf_schema,
+        )
+
+    # two consumers (totals rollup + dup join) — materialize once
+    tf = ds.map_batches(
+        tf_partial, batch_format="pyarrow", batch_size=None, **remote_env()
+    ).materialize()
+
+    totals = sum_rollup(tf, [id_col], ["tf"], count_col=None)
+
+    def rename_dup(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["ngram", "corpus_n"])
+
+    dup_tf = bucketed_hash_join(
+        tf,
+        dup.map_batches(rename_dup, batch_format="pyarrow", **remote_env()),
+        on="ngram",
+    )
+
+    def dup_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([id_col]).aggregate([("tf", "sum")])
+        return pa.table({id_col: g[id_col], "dupw": g["tf_sum"]})
+
+    dups = sum_rollup(
+        dup_tf.map_batches(
+            dup_partial, batch_format="pyarrow", batch_size=None, **remote_env()
+        ),
+        [id_col],
+        ["dupw"],
+        count_col=None,
+    )
+
+    joined = bucketed_hash_join(totals, dups, on=id_col, how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_windows": pc.cast(batch["tf"], pa.int64()),
+                "n_dup_windows": pc.cast(
+                    pc.fill_null(batch["dupw"], 0), pa.int64()
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", **remote_env())
