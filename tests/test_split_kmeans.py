@@ -234,3 +234,59 @@ def test_grouped_sample_deterministic_fixed_size(ray_session):
         df.sort_values(["h", "id"]).groupby("g").head(10)["id"].sort_values().tolist()
     )
     assert sorted(a["id"]) == want
+
+
+def test_token_budget_sample_matches_window_sql(ray_session):
+    """Greedy per-group budget selection vs the DuckDB window-SUM twin;
+    null costs count as 0; groups whose first pick already exceeds the
+    budget select nothing."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ulp_ray.stages.split import token_budget_sample
+
+    rng = np.random.default_rng(11)
+    n = 500
+    t = pa.table(
+        {
+            "g": pa.array([f"s{x}" for x in rng.integers(0, 4, n)]),
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "cost": pa.array(
+                [None if i % 97 == 0 else int(c) for i, c in
+                 enumerate(rng.integers(1, 300, n))],
+                pa.int64(),
+            ),
+        }
+    )
+    got = (
+        token_budget_sample(
+            ray.data.from_arrow(t).repartition(3), "g", "id", "cost", 1500
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        "SELECT g, id, cost FROM (SELECT *, SUM(COALESCE(cost, 0)) OVER ("
+        "PARTITION BY g ORDER BY (id * 2654435761) % 4294967296, id) AS cum "
+        "FROM t) WHERE cum <= 1500 ORDER BY id"
+    ).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[["g", "id", "cost"]], exp, check_dtype=False
+    )
+    # each group's kept set is a prefix in hash order and within budget
+    df = got.copy()
+    assert (
+        df.groupby("g")["cost"].sum().fillna(0) <= 1500
+    ).all()
+    # zero-budget edge: nothing survives (all costs >= 1)
+    got0 = token_budget_sample(
+        ray.data.from_arrow(t), "g", "id", "cost", 0
+    ).to_pandas()
+    assert len(got0) == 0 or (got0["cost"].fillna(0) == 0).all()

@@ -19,7 +19,13 @@ import pyarrow as pa
 from .._env import remote_env
 from ._bucket import key_hash_u64
 
-__all__ = ["hash_split", "deterministic_sample", "stratified_sample", "grouped_sample"]
+__all__ = [
+    "hash_split",
+    "deterministic_sample",
+    "stratified_sample",
+    "grouped_sample",
+    "token_budget_sample",
+]
 
 _SCALE = float(1 << 64)
 
@@ -219,3 +225,57 @@ def grouped_sample(
         return out.drop_columns(["__hkey", "__rn"])
 
     return ranked.map_batches(finish, batch_format="pyarrow", **remote_env())
+
+
+def token_budget_sample(
+    ds,
+    group_col: str,
+    id_col: str,
+    count_col: str,
+    budget: int,
+    buckets: int | None = None,
+):
+    """Deterministic per-group budgeted selection — the data-MIXING
+    primitive: within each group (source, language, domain), keep rows
+    in Knuth-hash-of-``id_col`` order (ties by id) while the group's
+    running sum of ``count_col`` INCLUDING the current row stays
+    ``<= budget``. With ``count_col`` = token counts this caps each
+    source at a token budget, the standard way training mixtures pin
+    per-domain proportions; any non-negative cost column works.
+
+    Exact SQL twin: ``SUM(c) OVER (PARTITION BY g ORDER BY
+    (id*2654435761)%2^32, id) <= budget`` — the hash is plain integer
+    arithmetic both engines compute identically. Null costs count as 0.
+
+    Scale shape: one ``hash(group) % B`` co-group (same contract as
+    :func:`~.window.running_aggregate`: a group's rows land in one
+    bucket); in-bucket one vectorized sort + segmented cumsum. Greedy
+    prefix selection is inherently sequential PER GROUP, so a single
+    group's rows must fit a bucket worker — true for per-source /
+    per-language mixing where groups number dozens; salt/pre-aggregate
+    upstream if a group's ROW COUNT itself is extreme.
+    """
+    import pandas as pd
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from ._bucket import with_bucket
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        g = g.assign(__hkey=h.astype(np.int64))
+        g = g.sort_values([group_col, "__hkey", id_col], kind="stable")
+        cum = (
+            g[count_col]
+            .fillna(0)
+            .groupby(g[group_col], sort=False, dropna=False)
+            .cumsum()
+        )
+        return g[cum <= budget].drop(columns=["__hkey", "__bucket"])
+
+    return (
+        with_bucket(ds, [group_col], buckets)
+        .groupby("__bucket")
+        .map_groups(run, batch_format="pandas", **remote_env())
+    )
