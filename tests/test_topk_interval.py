@@ -296,3 +296,65 @@ def test_grouped_collect_null_numeric_key_single_group(ray_session):
     null_row = out[out["k"].isna()]
     assert len(null_row) == 1
     assert null_row.iloc[0]["values_joined"] == "b|c"
+
+
+def test_quantile_filter_matches_duckdb(ray_session):
+    """Broadcast-threshold percentile filter vs DuckDB join twin,
+    including null groups / null values (JOIN semantics: never pass),
+    both keep directions, and the join fallback path."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ulp_ray.stages.aggregate import quantile_filter
+
+    rng = np.random.default_rng(7)
+    n = 400
+    t = pa.table(
+        {
+            "g": pa.array(
+                [None if i % 57 == 0 else f"t{x}"
+                 for i, x in enumerate(rng.integers(0, 4, n))]
+            ),
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "v": pa.array(
+                [None if i % 41 == 0 else float(x)
+                 for i, x in enumerate(rng.normal(size=n))],
+                pa.float64(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    con = duckdb.connect()
+    con.register("t", t)
+
+    for keep, op in [("above", ">"), ("below", "<=")]:
+        got = (
+            quantile_filter(ds, "g", "v", 0.5, keep=keep)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        exp = con.execute(
+            "WITH th AS (SELECT g, quantile_cont(v, 0.5) AS thr FROM t "
+            f"GROUP BY g) SELECT t.g, t.id, t.v FROM t JOIN th USING (g) "
+            f"WHERE t.v {op} th.thr ORDER BY id"
+        ).df()
+        pd.testing.assert_frame_equal(
+            got[["g", "id", "v"]], exp, check_dtype=False
+        )
+        # join fallback gives identical rows
+        got_j = (
+            quantile_filter(ds, "g", "v", 0.5, keep=keep, broadcast_max_groups=0)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got_j[["g", "id", "v"]].reset_index(drop=True), exp, check_dtype=False
+        )
+
+    with pytest.raises(ValueError, match="keep must be"):
+        quantile_filter(ds, "g", "v", 0.5, keep="between")

@@ -37,6 +37,7 @@ __all__ = [
     "schema_rollup_partials",
     "grouped_topk",
     "grouped_quantile",
+    "quantile_filter",
     "pivot_counts",
     "grouped_moments",
     "grouped_collect",
@@ -334,7 +335,83 @@ def grouped_quantile(
     )
 
 
+def quantile_filter(
+    ds,
+    group_col: str,
+    value_col: str,
+    q: float,
+    keep: str = "above",
+    broadcast_max_groups: int = 1_000_000,
+):
+    """Per-group percentile filter: keep each group's rows whose
+    ``value_col`` is strictly above (``keep="above"``) or at-or-below
+    (``keep="below"``) the group's exact q-quantile — the
+    quality-filtering composition (drop the bottom decile per language,
+    keep short docs per source, ...). Join semantics throughout: rows
+    with a NULL group or NULL value never pass (SQL ``JOIN ... WHERE v >
+    thr``), and all-null groups keep nothing.
+
+    Scale shape: the threshold table is one row per group (the exact
+    :func:`grouped_quantile` co-group); when it fits
+    ``broadcast_max_groups`` it ships ONCE via ``ray.put`` and the
+    filter is a vectorized per-batch lookup — no shuffle of ``ds``
+    at all. Above that, a group-keyed ``bucketed_hash_join`` takes
+    over (one exchange of ``ds``, still never materialized).
+    """
+    import ray
+
+    from .._env import remote_env
+
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be above/below, got {keep!r}")
+
+    thr = grouped_quantile(ds, [group_col], value_col, q, out_col="__thr")
+
+    n_groups = thr.count()
+    if n_groups > broadcast_max_groups:
+        from .join import bucketed_hash_join
+
+        # grouped_quantile emits pandas blocks (object-dtype strings);
+        # round-trip to Arrow so the join's dtype check sees real types
+        thr_arrow = thr.map_batches(
+            lambda b: b, batch_format="pyarrow", **remote_env()
+        )
+        joined = bucketed_hash_join(ds, thr_arrow, on=group_col)
+
+        def jfilter(batch: pa.Table) -> pa.Table:
+            v = batch[value_col]
+            t = batch["__thr"]
+            m = pc.greater(v, t) if keep == "above" else pc.less_equal(v, t)
+            return batch.filter(pc.fill_null(m, False)).drop_columns(["__thr"])
+
+        return joined.map_batches(jfilter, batch_format="pyarrow", **remote_env())
+
+    import numpy as np
+    import pandas as pd
+
+    tdf = thr.to_pandas()
+    # JOIN semantics: a NULL group matches nothing
+    tdf = tdf[pd.notna(tdf[group_col])]
+    thr_ref = ray.put(dict(zip(tdf[group_col], tdf["__thr"])))
+
+    def bfilter(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        lookup = ray.get(thr_ref)
+        g = pd.Series(batch[group_col].to_numpy(zero_copy_only=False))
+        t = g.map(lookup).to_numpy(dtype=np.float64, na_value=np.nan)
+        v = pd.Series(batch[value_col].to_numpy(zero_copy_only=False)).to_numpy(
+            dtype=np.float64, na_value=np.nan
+        )
+        m = (v > t) if keep == "above" else (v <= t)  # NaN compares False
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(bfilter, batch_format="pyarrow", **remote_env())
+
+
 def grouped_moments(
+
     ds,
     keys: Sequence[str],
     value_col: str,
