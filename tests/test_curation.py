@@ -307,3 +307,58 @@ def test_curation_component_scope_transitive_closure(ray_session):
 
     with pytest.raises(ValueError, match="near_dup_scope"):
         curate_documents(ds, near_dup_scope="bogus", **kw)
+
+
+def test_curation_min_logprob_and_token_budget(ray_session):
+    """Perplexity filter drops the gibberish doc (low corpus-bigram avg
+    log-prob); the token-budget stage caps per-group tokens; report
+    fields record both."""
+    import ray.data
+
+    # corpus of repeated fluent docs + one gibberish doc whose bigrams
+    # are all corpus-unique -> far lower avg log-prob
+    rows = [(i, GOOD + f" tail{i % 2}") for i in range(8)]
+    rows.append((8, "zq xv qj wk vx kq jz qx zk wv"))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * 9, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+
+    from ulp_ray.stages.vocab import bigram_logprob
+
+    scores = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in bigram_logprob(ds, "text", "doc_id").take_all()
+    }
+    assert scores[8] < min(scores[i] for i in range(8)) - 0.5
+    thresh = (scores[8] + min(scores[i] for i in range(8))) / 2
+
+    curated, report, _ = curate_documents(
+        ds,
+        min_quality=0.0,
+        near_dup=False,
+        min_logprob=thresh,
+    )
+    ids = sorted(r["doc_id"] for r in curated.take_all())
+    assert 8 not in ids
+    assert report.rows_after_logprob == len(ids)
+    assert report.min_logprob == thresh
+
+    # token budget: GOOD has 28 tokens + 1 tail = 29; budget of 60
+    # keeps exactly 2 docs of the en group (docs are exact-dedup
+    # survivors: ids 0 and 1 by text)
+    curated2, report2, _ = curate_documents(
+        ds,
+        min_quality=0.0,
+        near_dup=False,
+        token_budget=("lang", 60),
+    )
+    kept = curated2.take_all()
+    assert report2.rows_after_token_budget == len(kept)
+    assert sum(r["n_tokens"] for r in kept) <= 60
+    assert len(kept) >= 1
+    assert report2.token_budget == ["lang", 60]

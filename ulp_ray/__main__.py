@@ -158,6 +158,20 @@ def main(argv: list[str] | None = None) -> int:
         help="newline-delimited benchmark probe strings (decontamination)",
     )
     sp.add_argument(
+        "--min-logprob",
+        type=float,
+        default=None,
+        help="drop docs whose corpus-bigram avg log-prob is below this "
+        "(perplexity-style fluency filter, runs after exact dedup)",
+    )
+    sp.add_argument(
+        "--token-budget",
+        default=None,
+        metavar="GROUP:N",
+        help="final mixing stage: per GROUP column (lang/source/"
+        "lang_pred), keep docs in hash order up to N total tokens",
+    )
+    sp.add_argument(
         "--splits",
         default=None,
         help='JSON fractions, e.g. \'{"train": 0.95, "val": 0.05}\'',
@@ -227,6 +241,12 @@ def main(argv: list[str] | None = None) -> int:
             max_dup_line_frac=args.max_dup_line_frac,
             splits=splits,
             checkpoint_dir=args.checkpoint_dir,
+            min_logprob=args.min_logprob,
+            token_budget=(
+                (lambda g, n: (g, int(n)))(*args.token_budget.rsplit(":", 1))
+                if args.token_budget
+                else None
+            ),
         )
         from dataclasses import asdict
 

@@ -145,6 +145,10 @@ class CurationReport:
     stages_resumed: list | None = None
     near_dup_method: str = "minhash"
     near_dup_scope: str = "pairs"
+    min_logprob: float | None = None
+    rows_after_logprob: int | None = None
+    token_budget: list | None = None
+    rows_after_token_budget: int | None = None
 
     def write(self, out_dir: str) -> None:
         with open(os.path.join(out_dir, "report.json"), "w") as f:
@@ -168,6 +172,8 @@ def curate_documents(
     max_dup_line_frac: float | None = None,
     checkpoint_dir: str | None = None,
     cc_max_iters: int = 64,
+    min_logprob: float | None = None,
+    token_budget: tuple | None = None,
 ) -> tuple:
     """Run the curation pipeline over a documents dataset.
 
@@ -215,6 +221,18 @@ def curate_documents(
     covers graphs of diameter ~2^64 — the knob exists so an adversarial
     configuration can raise it rather than die mid-pipeline).
 
+    ``min_logprob`` adds a perplexity-style fluency filter AFTER exact
+    dedup: documents whose corpus-bigram average log-probability
+    (:func:`~ulp_ray.stages.vocab.bigram_logprob` — add-one smoothed,
+    estimated on the post-dedup corpus itself) falls below the bound
+    are dropped via a bucketed anti-join. Documents with fewer than two
+    tokens have no score and pass (no evidence). ``token_budget`` =
+    ``(group_col, budget)`` adds a final data-MIXING stage before the
+    splits: per group (``lang``, ``source``, or the analyzer's
+    ``lang_pred``), keep documents in deterministic hash order while
+    the running ``n_tokens`` total stays within the budget
+    (:func:`~ulp_ray.stages.split.token_budget_sample`).
+
     ``checkpoint_dir`` turns on stage-level checkpointing: each stage's
     output lands durably under ``checkpoint_dir/<stage>/`` with an
     atomic done-marker, and a re-run with identical parameters (and
@@ -244,6 +262,8 @@ def curate_documents(
                 "ngram_n": ngram_n,
                 "probes": sorted(probes) if probes else None,
                 "max_dup_line_frac": max_dup_line_frac,
+                "min_logprob": min_logprob,
+                "token_budget": list(token_budget) if token_budget else None,
             },
         )
 
@@ -305,6 +325,21 @@ def curate_documents(
         lambda: exact_dedup(filtered, on=text_col, order_col=id_col),
     )
 
+    rows_after_logprob = None
+    if min_logprob is not None:
+        from ..stages.join import bucketed_anti_join
+        from ..stages.vocab import bigram_logprob
+
+        def build_ppl():
+            scores = bigram_logprob(deduped, text_col=text_col, id_col=id_col)
+            losers = scores.filter(
+                expr=f"avg_logprob < {min_logprob}"
+            ).select_columns([id_col])
+            # docs absent from the score table (<2 tokens) pass
+            return bucketed_anti_join(deduped, losers, on=id_col, right_on=id_col)
+
+        deduped, rows_after_logprob = _stage("03b_ppl_filtered", build_ppl)
+
     if near_dup:
         if near_dup_method not in ("minhash", "exact_ngram"):
             raise ValueError(
@@ -360,6 +395,19 @@ def curate_documents(
             )
     else:
         curated = deduped
+
+    rows_after_token_budget = None
+    if token_budget is not None:
+        from ..stages.split import token_budget_sample
+
+        tb_group, tb_budget = token_budget
+        src = curated
+        curated, rows_after_token_budget = _stage(
+            "05_token_budget",
+            lambda: token_budget_sample(
+                src, tb_group, id_col, "n_tokens", int(tb_budget)
+            ),
+        )
     curated = curated.materialize()  # counted and (optionally) written
     rows_out = curated.count()
 
@@ -387,6 +435,10 @@ def curate_documents(
         stages_resumed=(ckpt.resumed if ckpt is not None else None),
         near_dup_method=near_dup_method,
         near_dup_scope=near_dup_scope,
+        min_logprob=min_logprob,
+        rows_after_logprob=rows_after_logprob,
+        token_budget=(list(token_budget) if token_budget else None),
+        rows_after_token_budget=rows_after_token_budget,
     )
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
