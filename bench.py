@@ -158,6 +158,12 @@ def run_bench() -> dict:
         "semi_join_orders_rich_bloom_forced",
         "heavy_hitters_tokens_docs",
         "bm25_topk_docs",
+        "bigram_logprob_docs",
+        "duplicated_windows_docs",
+        "token_budget_docs",
+        "quantile_filter_events",
+        "rolling_time_sum_events",
+        "full_outer_join_orders_customer",
     ):
         if name not in qs:
             continue

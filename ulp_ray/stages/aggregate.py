@@ -365,7 +365,11 @@ def quantile_filter(
     if keep not in ("above", "below"):
         raise ValueError(f"keep must be above/below, got {keep!r}")
 
-    thr = grouped_quantile(ds, [group_col], value_col, q, out_col="__thr")
+    # materialize: consumed twice (count + broadcast/join) — without it
+    # the threshold co-group's shuffle would execute twice
+    thr = grouped_quantile(
+        ds, [group_col], value_col, q, out_col="__thr"
+    ).materialize()
 
     n_groups = thr.count()
     if n_groups > broadcast_max_groups:
