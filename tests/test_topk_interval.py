@@ -358,3 +358,47 @@ def test_quantile_filter_matches_duckdb(ray_session):
 
     with pytest.raises(ValueError, match="keep must be"):
         quantile_filter(ds, "g", "v", 0.5, keep="between")
+
+
+def test_cube_counts_matches_duckdb(ray_session):
+    """GROUP BY CUBE: every key subset, padded nulls, incl. real-null
+    data values coinciding with padded nulls (SQL's own ambiguity)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ulp_ray.stages.aggregate import cube_counts
+
+    rng = np.random.default_rng(13)
+    n = 300
+    t = pa.table(
+        {
+            "a": pa.array(
+                [None if i % 29 == 0 else f"a{x}"
+                 for i, x in enumerate(rng.integers(0, 3, n))]
+            ),
+            "b": pa.array(rng.integers(0, 4, n), pa.int64()),
+        }
+    )
+    got = (
+        cube_counts(ray.data.from_arrow(t).repartition(3), ["a", "b"])
+        .to_pandas()
+        .sort_values(["a", "b", "n"], na_position="last")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = (
+        con.execute(
+            "SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM t "
+            "GROUP BY CUBE(a, b)"
+        )
+        .df()
+        .sort_values(["a", "b", "n"], na_position="last")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    with pytest.raises(ValueError, match="at least one key"):
+        cube_counts(ray.data.from_arrow(t), [])

@@ -42,6 +42,7 @@ __all__ = [
     "grouped_moments",
     "grouped_collect",
     "rollup_counts",
+    "cube_counts",
 ]
 
 
@@ -633,6 +634,74 @@ def _load_node(s: str):
         return ObjectNode({k: dec(v) for k, v in n["__obj__"].items()})
 
     return dec(json.loads(s))
+
+
+def cube_counts(ds, keys: Sequence[str]):
+    """SQL ``GROUP BY CUBE(keys)`` counts: one row group per SUBSET of
+    the key set — ``2^k`` levels, dropped key columns padded as typed
+    nulls, unioned into one Dataset ``keys + [n]``.
+
+    Cost shape: only the finest level (all keys) touches the raw rows
+    (one :func:`count_rollup`); every other subset folds from that
+    already-tiny table with :func:`sum_rollup` — ``2^k − 1`` folds of
+    O(distinct-key-tuples) rows, so keep ``k`` small (CUBE is
+    combinatorial by definition). Same padded-null ambiguity note as
+    :func:`rollup_counts` (SQL's GROUPING() is not reproduced)."""
+    from itertools import combinations
+
+    import ray
+
+    from .._env import remote_env
+    from ._bucket import arrow_type_of
+
+    key_list = list(keys)
+    if not key_list:
+        raise ValueError("cube_counts needs at least one key")
+    types = {
+        n: t
+        for n, t in zip(ds.schema().names, ds.schema().types)
+        if n in key_list
+    }
+
+    finest = count_rollup(ds, key_list)
+
+    def pad_level(level_keys: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for c in key_list:
+                if c in level_keys:
+                    cols[c] = batch[c]
+                else:
+                    cols[c] = pa.nulls(len(batch), arrow_type_of(types[c]))
+            cols["n"] = pc.cast(batch["n"], pa.int64())
+            return pa.table(cols)
+
+        return fn
+
+    out = finest.map_batches(
+        pad_level(key_list), batch_format="pyarrow", **remote_env()
+    )
+    for r in range(len(key_list) - 1, 0, -1):
+        for sub in combinations(key_list, r):
+            kept = list(sub)
+            lvl = sum_rollup(
+                finest.select_columns(kept + ["n"]), kept, ["n"], count_col=None
+            )
+            out = out.union(
+                lvl.map_batches(pad_level(kept), batch_format="pyarrow", **remote_env())
+            )
+    # grand total: fold the single-key coarsest level on the driver
+    first = sum_rollup(
+        finest.select_columns([key_list[0], "n"]), [key_list[0]], ["n"], count_col=None
+    )
+    grand = sum(
+        int(pc.sum(b["n"], min_count=0).as_py() or 0)
+        for b in first.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    total = ray.data.from_arrow(pa.table({"n": pa.array([grand], pa.int64())}))
+    return out.union(
+        total.map_batches(pad_level([]), batch_format="pyarrow", **remote_env())
+    )
 
 
 def rollup_counts(ds, keys: Sequence[str], total_row: bool = True):
