@@ -495,6 +495,15 @@ def test_bigram_logprob_matches_duckdb(docs):
     row = got[got["doc_id"] == 3]
     assert row["n_bigrams"].iloc[0] == 2
     assert abs(row["avg_logprob"].iloc[0] - want) < 1e-9
+    # the join fallback path (forced by a zero broadcast ceiling) is
+    # pinned equal to the broadcast fast path
+    got_join = (
+        bigram_logprob(ds, "text", "doc_id", broadcast_max_rows=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got_join, check_dtype=False)
 
 
 def test_duplicated_window_stats_matches_duckdb(ray_session):

@@ -235,6 +235,7 @@ def bigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     decimals: int = 4,
+    broadcast_max_rows: int = 2_000_000,
 ):
     """Per-document average bigram log-probability under an add-one
     (Laplace) smoothed bigram LM estimated on the corpus itself — the
@@ -254,21 +255,101 @@ def bigram_logprob(
     match DuckDB ``ROUND``; the only FP hazard is summation-order
     last-digits, same documented contract as the BM25 scorer.
 
-    Scale shape: two corpus folds (the :func:`vocabulary` and
-    :func:`ngram_counts` partial+Sum shapes — raw text never shuffles),
-    one count aggregate for V, a per-block (doc, bigram, w1, tf) Arrow
+    Scale shape, two regimes. When BOTH count tables fit
+    ``broadcast_max_rows`` (the common case — vocabularies and bigram
+    tables are sublinear in the corpus), they ship ONCE via ``ray.put``
+    and the whole per-doc scoring is a SINGLE streaming map: per block,
+    tokenize → two ``pc.index_in`` lookups against the broadcast tables
+    → per-doc ``np.bincount`` fold — one row = one document, so
+    nothing per-doc ever crosses an exchange (measured 42–47 s → see
+    BASELINE.md; the former double bucketed join dragged the O(corpus
+    bigram instances) tf table through two sort barriers). Above the
+    ceiling: the join path — a per-block (doc, bigram, w1, tf) Arrow
     hash-aggregate, two token-keyed ``bucketed_hash_join`` exchanges
     over fixed-width count rows, and a per-doc float ``sum_rollup``.
-    At 100 TB the count tables are large but fixed-width; nothing
-    materializes beyond ``sum_rollup``'s bounded driver fold.
+    Both paths are exact and pinned equal by test.
     """
+    import ray
+
     from .aggregate import sum_rollup
     from .join import bucketed_hash_join
 
+    # the folds' outputs are materialized tables below the rollup
+    # threshold, so count() + reuse does not re-execute them
     uni = vocabulary(ds, text_col=text_col)
     big = ngram_counts(ds, text_col=text_col, n=2)
     # V is a driver scalar, but the fold that produces it is distributed
     vocab_size = float(uni.count())
+
+    if uni.count() <= broadcast_max_rows and big.count() <= broadcast_max_rows:
+        uni_t = pa.concat_tables(
+            list(uni.iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+        big_t = pa.concat_tables(
+            list(big.iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+        uni_ref = ray.put(
+            (uni_t["token"].combine_chunks(), uni_t["n"].to_numpy(zero_copy_only=False))
+        )
+        big_ref = ray.put(
+            (big_t["ngram"].combine_chunks(), big_t["n"].to_numpy(zero_copy_only=False))
+        )
+
+        def score(batch: pa.Table) -> pa.Table:
+            from ._tokens import flat_tokens
+
+            out_schema = pa.schema(
+                [
+                    (id_col, batch.schema.field(id_col).type),
+                    ("n_bigrams", pa.int64()),
+                    ("avg_logprob", pa.float64()),
+                ]
+            )
+            u_keys, u_counts = ray.get(uni_ref)
+            b_keys, b_counts = ray.get(big_ref)
+            flat, par = flat_tokens(batch[text_col])
+            total = len(flat)
+            if total < 2:
+                return out_schema.empty_table()
+            same_row = par[:-1] == par[1:]
+            if not same_row.any():
+                return out_schema.empty_table()
+            mask = pa.array(same_row)
+            grams = pc.binary_join_element_wise(
+                flat.slice(0, total - 1), flat.slice(1, total - 1), " "
+            ).filter(mask)
+            w1 = flat.slice(0, total - 1).filter(mask)
+            gpar = par[:-1][same_row]
+            # every gram/w1 is present in the corpus tables by
+            # construction (the folds saw this block too)
+            cb = b_counts[
+                pc.index_in(grams, value_set=b_keys).to_numpy(zero_copy_only=False)
+            ].astype(np.float64)
+            cu = u_counts[
+                pc.index_in(w1, value_set=u_keys).to_numpy(zero_copy_only=False)
+            ].astype(np.float64)
+            lp = np.log((cb + 1.0) / (cu + vocab_size))
+            n_rows = batch.num_rows
+            sums = np.bincount(gpar, weights=lp, minlength=n_rows)
+            cnts = np.bincount(gpar, minlength=n_rows)
+            keep = cnts > 0
+            avg = pc.round(
+                pa.array(sums[keep] / cnts[keep], pa.float64()),
+                ndigits=decimals,
+                round_mode="half_towards_infinity",
+            )
+            return pa.table(
+                {
+                    id_col: batch[id_col].filter(pa.array(keep)),
+                    "n_bigrams": pa.array(cnts[keep], pa.int64()),
+                    "avg_logprob": avg,
+                },
+                schema=out_schema,
+            )
+
+        return ds.map_batches(
+            score, batch_format="pyarrow", batch_size=None, **remote_env()
+        )
 
     s = ds.schema()  # Ray Data Schema: parallel names/types lists
     id_type = dict(zip(s.names, s.types))[id_col]
