@@ -557,3 +557,12 @@ def test_duplicated_window_stats_matches_duckdb(ray_session):
     assert 3 not in set(got["doc_id"]) and 4 not in set(got["doc_id"])
     row5 = got[got["doc_id"] == 5].iloc[0]
     assert (row5["n_windows"], row5["n_dup_windows"]) == (2, 0)
+    # the join fallback path (forced by a zero broadcast ceiling) is
+    # pinned equal to the broadcast fast path
+    got_join = (
+        duplicated_window_stats(ds, "text", "doc_id", n=3, broadcast_max_rows=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got_join, check_dtype=False)

@@ -465,6 +465,7 @@ def duplicated_window_stats(
     id_col: str = "doc_id",
     n: int = 5,
     min_dup: int = 2,
+    broadcast_max_rows: int = 2_000_000,
 ):
     """Corpus-wide duplicated-substring statistics per document: for
     each doc, how many of its word-``n``-gram windows occur at least
@@ -476,20 +477,71 @@ def duplicated_window_stats(
     oracle-comparable; documents with fewer than ``n`` tokens have no
     windows and are absent.
 
-    Scale shape: one corpus window fold (:func:`ngram_counts` with
-    ``min_count=min_dup`` — only corpus-duplicated windows survive to
-    the join), one per-block (doc, window, tf) Arrow hash-aggregate
-    materialized ONCE for its two consumers, a window-keyed
-    ``bucketed_hash_join`` against the duplicated-window set, and two
-    per-doc integer rollups stitched with a left join. Window strings
-    (~``n``×word bytes) are the exchange payload; at very large ``n``
-    hash the windows upstream if the 2⁻⁶⁴-collision caveat is
-    acceptable — the default stays exact.
+    Scale shape, two regimes (the :func:`bigram_logprob` discipline).
+    The duplicated-window set (``min_count=min_dup`` prunes the fold to
+    only corpus-duplicated windows — typically a small fraction) fits
+    ``broadcast_max_rows`` in the common case: it ships ONCE via
+    ``ray.put`` and the whole per-doc count is a SINGLE streaming map —
+    per block, windows → one ``pc.index_in`` membership probe → two
+    per-doc ``np.bincount`` folds; a document's windows never cross an
+    exchange. Above the ceiling: a per-block (doc, window, tf) Arrow
+    hash-aggregate materialized once for its two consumers, a
+    window-keyed ``bucketed_hash_join`` against the duplicated set, and
+    two per-doc integer rollups stitched with a left join. At very
+    large ``n`` hash the windows upstream if the 2⁻⁶⁴-collision caveat
+    is acceptable — the default stays exact. Both paths pinned equal by
+    test.
     """
+    import ray
+
     from .aggregate import sum_rollup
     from .join import bucketed_hash_join
 
     dup = ngram_counts(ds, text_col=text_col, n=n, min_count=min_dup)
+
+    if dup.count() <= broadcast_max_rows:
+        batches = list(dup.iter_batches(batch_format="pyarrow", batch_size=None))
+        dup_keys = (
+            pa.concat_tables(batches)["ngram"].combine_chunks()
+            if batches
+            else pa.array([], pa.string())
+        )
+        dup_ref = ray.put(dup_keys)
+
+        def count_windows(batch: pa.Table) -> pa.Table:
+            from ._tokens import flat_tokens, word_ngrams_flat
+
+            out_schema = pa.schema(
+                [
+                    (id_col, batch.schema.field(id_col).type),
+                    ("n_windows", pa.int64()),
+                    ("n_dup_windows", pa.int64()),
+                ]
+            )
+            keys = ray.get(dup_ref)
+            flat, par = flat_tokens(batch[text_col])
+            grams, gpar = word_ngrams_flat(flat, par, n)
+            if len(grams) == 0:
+                return out_schema.empty_table()
+            hit = pc.is_valid(pc.index_in(grams, value_set=keys)).to_numpy(
+                zero_copy_only=False
+            )
+            n_rows = batch.num_rows
+            tot = np.bincount(gpar, minlength=n_rows)
+            dupc = np.bincount(gpar[hit], minlength=n_rows)
+            keep = tot > 0
+            return pa.table(
+                {
+                    id_col: batch[id_col].filter(pa.array(keep)),
+                    "n_windows": pa.array(tot[keep], pa.int64()),
+                    "n_dup_windows": pa.array(dupc[keep], pa.int64()),
+                },
+                schema=out_schema,
+            )
+
+        return ds.map_batches(
+            count_windows, batch_format="pyarrow", batch_size=None, **remote_env()
+        )
 
     s = ds.schema()
     id_type = dict(zip(s.names, s.types))[id_col]
