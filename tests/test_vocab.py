@@ -192,6 +192,14 @@ def test_doc_term_stats_matches_duckdb(docs):
         "ORDER BY doc_id, token"
     ).df()
     pd.testing.assert_frame_equal(got, exp)
+    # join fallback path (zero broadcast ceiling) pinned equal
+    got_join = (
+        doc_term_stats(ds, "text", "doc_id", broadcast_max_rows=0)
+        .to_pandas()
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)[["doc_id", "token", "tf", "df"]]
+    )
+    pd.testing.assert_frame_equal(got_join, exp)
 
 
 def test_repetition_features_matches_duckdb(ray_session):

@@ -192,18 +192,45 @@ def doc_frequency(ds, text_col: str = "text", min_count: int = 1):
     return out
 
 
-def doc_term_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+def doc_term_stats(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_max_rows: int = 2_000_000,
+):
     """Per-(document, token) term frequency joined with corpus document
     frequency: Dataset ``(doc_id, token, tf, df)`` — the integer core of
     TF-IDF (the weighting ``tf·ln(N/df)`` is one cheap map over this;
     keeping the contract integral keeps it exactly oracle-comparable).
 
     Shapes: the TF side is one C-level Arrow ``group_by([doc, token])``
-    per block (exact, because one row = one document); the DF side is
-    the :func:`doc_frequency` fold; the two meet in a token-keyed
+    per block (exact, because one row = one document). When the DF fold
+    fits ``broadcast_max_rows`` (vocabularies are sublinear in the
+    corpus) it ships ONCE via ``ray.put`` and the df column is a
+    ``pc.index_in`` lookup inside the same streaming partial — the
+    O(corpus tokens) TF rows never cross an exchange (r5: the former
+    unconditional token-keyed join was the op's dominant sort barrier).
+    Above the ceiling the two meet in the token-keyed
     ``bucketed_hash_join`` — a real shuffle join, but over fixed-width
-    (id, token, count) rows, never raw text."""
+    (id, token, count) rows, never raw text. Paths pinned equal by
+    test."""
+    import ray
+
     from .join import bucketed_hash_join
+
+    df = doc_frequency(ds, text_col=text_col)
+    use_broadcast = df.count() <= broadcast_max_rows
+    if use_broadcast:
+        batches = list(df.iter_batches(batch_format="pyarrow", batch_size=None))
+        tbl = (
+            pa.concat_tables(batches)
+            if batches
+            else pa.table({"token": pa.array([], pa.string()),
+                           "df": pa.array([], pa.int64())})
+        )
+        df_ref = ray.put(
+            (tbl["token"].combine_chunks(), tbl["df"].to_numpy(zero_copy_only=False))
+        )
 
     def tf_partial(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(batch[text_col], pattern=r"\s+")  # RE2 \s (ASCII) — oracle lockstep, see _tokens.py
@@ -215,18 +242,28 @@ def doc_term_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
         t = pa.table({id_col: ids, "token": flat})
         t = t.filter(pc.not_equal(t["token"], ""))
         g = t.group_by([id_col, "token"]).aggregate([([], "count_all")])
-        return pa.table(
+        out = pa.table(
             {
                 id_col: g[id_col],
                 "token": g["token"],
                 "tf": pc.cast(g["count_all"], pa.int64()),
             }
         )
+        if use_broadcast:
+            keys, counts = ray.get(df_ref)
+            # every token is in the corpus DF table by construction
+            dfv = counts[
+                pc.index_in(out["token"].combine_chunks(), value_set=keys)
+                .to_numpy(zero_copy_only=False)
+            ]
+            out = out.append_column("df", pa.array(dfv, pa.int64()))
+        return out
 
     tf = ds.map_batches(
         tf_partial, batch_format="pyarrow", batch_size=None, **remote_env()
     )
-    df = doc_frequency(ds, text_col=text_col)
+    if use_broadcast:
+        return tf
     return bucketed_hash_join(tf, df, on="token")
 
 
