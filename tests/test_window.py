@@ -458,3 +458,56 @@ def test_rolling_time_aggregate_vs_duckdb(ray_session):
         want["c"].astype("int64"),
         check_names=False,
     )
+
+
+def test_rolling_frame_aggregate_vs_duckdb(ray_session):
+    """Centered/asymmetric ROWS frame vs DuckDB, including null values
+    (skipped; all-null frame -> NULL/0) and frames clamped at segment
+    edges."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ulp_ray.stages.window import rolling_frame_aggregate
+
+    rng = np.random.default_rng(17)
+    n = 300
+    vals = rng.integers(-20, 50, n).astype("float64")
+    vals[[4, 5, 6, 40]] = np.nan
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 9, n),
+            "o": rng.permutation(n),
+            "v": vals,
+            "rid": np.arange(n),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    con = duckdb.connect()
+    con.register("t", df)
+    for agg, sql_expr, col in [
+        ("sum", "SUM(v)", "frame_sum_v"),
+        ("mean", "AVG(v)", "frame_mean_v"),
+        ("count", "COUNT(v)", "frame_count_v"),
+    ]:
+        got = (
+            rolling_frame_aggregate(ds, "k", ["o"], "v", 2, 3, agg=agg)
+            .to_pandas()
+            .sort_values("rid")
+            .reset_index(drop=True)
+        )
+        want = con.sql(
+            f"SELECT rid, {sql_expr} OVER (PARTITION BY k ORDER BY o "
+            "ROWS BETWEEN 2 PRECEDING AND 3 FOLLOWING) AS w FROM t "
+            "ORDER BY rid"
+        ).df()
+        pd.testing.assert_series_equal(
+            got[col].astype("float64"),
+            want["w"].astype("float64"),
+            check_names=False,
+        )
+    with pytest.raises(ValueError, match="unsupported"):
+        rolling_frame_aggregate(ds, "k", ["o"], "v", 1, 1, agg="max")
+    with pytest.raises(ValueError, match=">= 0"):
+        rolling_frame_aggregate(ds, "k", ["o"], "v", -1, 0)

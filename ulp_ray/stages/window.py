@@ -38,6 +38,7 @@ __all__ = [
     "running_aggregate",
     "rolling_aggregate",
     "rolling_time_aggregate",
+    "rolling_frame_aggregate",
     "grouped_rank",
     "lag_column",
     "edge_value_column",
@@ -295,6 +296,90 @@ def rolling_time_aggregate(
             g[name] = np.where(cnt > 0, out, np.nan)  # all-null frame → NULL
         else:
             g[name] = (ccnt[hi] - ccnt[lo]).astype(np.int64)
+        return g
+
+    return (
+        with_bucket(ds, [key], buckets)
+        .groupby("__bucket")
+        .map_groups(run, batch_format="pandas", **remote_env())
+    )
+
+
+def rolling_frame_aggregate(
+    ds,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    preceding: int,
+    following: int,
+    agg: str = "sum",
+    out_col: str | None = None,
+    buckets: int | None = None,
+):
+    """Per-key CENTERED/asymmetric row-frame aggregate — the SQL
+    ``SUM(v) OVER (PARTITION BY key ORDER BY o ROWS BETWEEN p PRECEDING
+    AND f FOLLOWING)`` shape (``agg``: ``sum`` / ``mean`` / ``count``),
+    completing the frame family next to the trailing-only
+    :func:`rolling_aggregate`. SQL null semantics: null values are
+    skipped; an all-null frame yields null (``count`` yields 0).
+
+    ``order_cols`` should include a unique tiebreaker — a pinned total
+    order is what makes the output oracle-comparable.
+
+    In-bucket body is fully vectorized across keys: one stable sort,
+    per-row segment bounds from the key-run lengths, then the frame is
+    evaluated as a prefix-sum difference over clamped [i−p, i+f]
+    windows — no per-key Python. (min/max need sliding-window deques,
+    not prefix sums — use :func:`rolling_aggregate`'s trailing frames
+    for those.)
+    """
+    if agg not in ("sum", "mean", "count"):
+        raise ValueError(f"unsupported rolling frame agg {agg!r}")
+    if preceding < 0 or following < 0:
+        raise ValueError("preceding/following must be >= 0")
+    name = out_col or f"frame_{agg}_{value_col}"
+    if name in ds.schema().names:
+        raise ValueError(
+            f"out_col {name!r} collides with an input column — pass out_col"
+        )
+
+    from ._bucket import with_bucket
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order_cols, kind="stable").drop(
+            columns="__bucket"
+        )
+        n = len(g)
+        if n == 0:
+            g[name] = pd.Series(
+                [], dtype="int64" if agg == "count" else "float64"
+            )
+            return g
+        keys = g[key].to_numpy()
+        knull = pd.isna(g[key]).to_numpy()
+        change = np.r_[True, (keys[1:] != keys[:-1]) & ~(knull[1:] & knull[:-1])]
+        seg_id = np.cumsum(change) - 1
+        starts = np.flatnonzero(change)
+        run_len = np.diff(np.r_[starts, n])
+        seg_start = np.repeat(starts, run_len)
+        seg_end = np.repeat(starts + run_len, run_len)  # exclusive
+        idx = np.arange(n, dtype=np.int64)
+        lo = np.maximum(seg_start, idx - preceding)
+        hi = np.minimum(seg_end, idx + following + 1)
+        vals = g[value_col].to_numpy()
+        vnull = pd.isna(g[value_col]).to_numpy()
+        vf = np.where(vnull, 0.0, vals.astype(np.float64))
+        csum = np.concatenate([[0.0], np.cumsum(vf)])
+        ccnt = np.concatenate([[0], np.cumsum((~vnull).astype(np.int64))])
+        cnt = ccnt[hi] - ccnt[lo]
+        if agg == "count":
+            g[name] = cnt.astype(np.int64)
+        else:
+            tot = csum[hi] - csum[lo]
+            if agg == "mean":
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    tot = tot / cnt
+            g[name] = np.where(cnt > 0, tot, np.nan)
         return g
 
     return (
