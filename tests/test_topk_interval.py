@@ -402,3 +402,48 @@ def test_cube_counts_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     with pytest.raises(ValueError, match="at least one key"):
         cube_counts(ray.data.from_arrow(t), [])
+
+
+def test_grouping_sets_matches_duckdb(ray_session):
+    """GROUPING SETS incl. a disjoint set that needs its own raw pass
+    and the grand-total ()."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ulp_ray.stages.aggregate import grouping_sets_counts
+
+    rng = np.random.default_rng(19)
+    n = 250
+    t = pa.table(
+        {
+            "a": pa.array([f"a{x}" for x in rng.integers(0, 3, n)]),
+            "b": pa.array(rng.integers(0, 4, n), pa.int64()),
+            "c": pa.array([f"c{x}" for x in rng.integers(0, 2, n)]),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = (
+        grouping_sets_counts(ds, ["a", "b", "c"], [["a", "b"], ["c"], []])
+        .to_pandas()
+        .sort_values(["a", "b", "c", "n"], na_position="last")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = (
+        con.execute(
+            "SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n FROM t "
+            "GROUP BY GROUPING SETS ((a, b), (c), ())"
+        )
+        .df()
+        .sort_values(["a", "b", "c", "n"], na_position="last")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    with pytest.raises(ValueError, match="at least one set"):
+        grouping_sets_counts(ds, ["a"], [])
+    with pytest.raises(ValueError, match="not in keys"):
+        grouping_sets_counts(ds, ["a"], [["z"]])

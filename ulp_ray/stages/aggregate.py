@@ -43,6 +43,7 @@ __all__ = [
     "grouped_collect",
     "rollup_counts",
     "cube_counts",
+    "grouping_sets_counts",
 ]
 
 
@@ -702,6 +703,87 @@ def cube_counts(ds, keys: Sequence[str]):
     return out.union(
         total.map_batches(pad_level([]), batch_format="pyarrow", **remote_env())
     )
+
+
+def grouping_sets_counts(ds, keys: Sequence[str], sets: Sequence[Sequence[str]]):
+    """SQL ``GROUP BY GROUPING SETS ((...), ...)`` counts: one row group
+    per caller-listed key subset — the generalization
+    :func:`rollup_counts` and :func:`cube_counts` are special cases of.
+    Dropped key columns pad as typed nulls; output ``keys + [n]``.
+
+    Cost shape: the finest requested level is computed once from the
+    raw rows; every OTHER set folds from it when it is a subset of the
+    finest (the cascade), and pays its own :func:`count_rollup` over the
+    raw rows only when it is not (e.g. sets ``[(a,b),(c)]`` share no
+    finest superset)."""
+    import ray
+
+    from .._env import remote_env
+    from ._bucket import arrow_type_of
+
+    key_list = list(keys)
+    set_lists = [list(g) for g in sets]
+    if not set_lists:
+        raise ValueError("grouping_sets_counts needs at least one set")
+    for g in set_lists:
+        unknown = [c for c in g if c not in key_list]
+        if unknown:
+            raise ValueError(f"grouping set column(s) {unknown} not in keys")
+    types = {
+        n: t
+        for n, t in zip(ds.schema().names, ds.schema().types)
+        if n in key_list
+    }
+
+    # the finest level: the widest requested set (ties: first)
+    finest_keys = max(set_lists, key=len)
+    finest = (
+        count_rollup(ds, finest_keys)
+        if finest_keys
+        else None  # () alone: handled below
+    )
+
+    def pad_level(level_keys: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for c in key_list:
+                if c in level_keys:
+                    cols[c] = batch[c]
+                else:
+                    cols[c] = pa.nulls(len(batch), arrow_type_of(types[c]))
+            cols["n"] = pc.cast(batch["n"], pa.int64())
+            return pa.table(cols)
+
+        return fn
+
+    out = None
+    for g in set_lists:
+        if g and set(g) <= set(finest_keys):
+            lvl = (
+                finest
+                if g == finest_keys
+                else sum_rollup(
+                    finest.select_columns(g + ["n"]), g, ["n"], count_col=None
+                )
+            )
+        elif g:
+            lvl = count_rollup(ds, g)  # disjoint set: own pass over raw rows
+        else:
+            # grand total () — fold the finest (or a 1-key rollup) on
+            # the driver
+            base = finest if finest is not None else count_rollup(ds, key_list[:1])
+            grand = sum(
+                int(pc.sum(b["n"], min_count=0).as_py() or 0)
+                for b in base.iter_batches(batch_format="pyarrow", batch_size=None)
+            )
+            lvl = ray.data.from_arrow(
+                pa.table({"n": pa.array([grand], pa.int64())})
+            )
+        padded = lvl.map_batches(
+            pad_level(g), batch_format="pyarrow", **remote_env()
+        )
+        out = padded if out is None else out.union(padded)
+    return out
 
 
 def rollup_counts(ds, keys: Sequence[str], total_row: bool = True):
