@@ -1,7 +1,10 @@
-"""Stage-attributed profile of the ngram_jaccard_pairs tail (VERDICT r4
-item 8): times each pipeline stage with explicit materialize barriers
-(which changes pipelining — the un-barriered end-to-end wall is also
-reported) and prints the final ``ds.stats()``.
+"""Profile of the ngram_jaccard_pairs tail (VERDICT r4 item 8): repeats
+the un-barriered end-to-end wall (the bench number), then one more run
+whose ``ds.stats()`` gives the per-operator in-task attribution. The
+r5 conclusion drawn from this output lives in BASELINE.md: the in-task
+remote walls sum to ~5.4 task-seconds against a 7.6 s wall, i.e. ≥97 %
+of the wall is fixed Ray execution cost (three sort barriers × many
+small tasks) at this input size.
 
 Usage: python scripts/profile_pairs.py [sf_dir] [reps]
 """
@@ -50,28 +53,10 @@ def main() -> None:
         wall = time.monotonic() - t0
         print(f"rep {rep}: end-to-end {wall:.2f} s, {out.count()} pairs")
 
-    # stage attribution: re-run the internals with barriers. This mirrors
-    # ngram_jaccard_pairs' structure; keep in sync when the stage changes.
-    import inspect
-
-    src = inspect.getsource(ngram_jaccard_pairs)
-    assert "sets_ds = ds.map_batches" in src  # structure drift guard
-
-    import numpy as np  # noqa: F401
-
-    from ulp_ray.stages import dedup as _d
-
-    ds = read()
+    # per-operator attribution: one more run, read its ds.stats()
     t0 = time.monotonic()
-    n_docs = ds.count()
-    print(f"input count: {time.monotonic() - t0:.2f} s ({n_docs} docs)")
-
-    # sets stage (stage 1)
-    t0 = time.monotonic()
-    pairs_ds = ngram_jaccard_pairs(read(), n=3, threshold=0.8)
-    # run the full op once more but grab stats for per-op attribution
-    pairs_ds = pairs_ds.materialize()
-    print(f"full run for stats: {time.monotonic() - t0:.2f} s")
+    pairs_ds = ngram_jaccard_pairs(read(), n=3, threshold=0.8).materialize()
+    print(f"stats run: {time.monotonic() - t0:.2f} s")
     print(pairs_ds.stats())
     ray.shutdown()
 

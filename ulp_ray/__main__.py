@@ -49,6 +49,19 @@ def _init_ray(num_cpus: int | None) -> None:
     DataContext.get_current().enable_progress_bars = False
 
 
+def _parse_token_budget(value: str | None) -> tuple | None:
+    """Parse --token-budget GROUP:N with a flag-naming error instead of
+    an anonymous TypeError/ValueError traceback."""
+    if not value:
+        return None
+    group, sep, n = value.rpartition(":")
+    if not sep or not group or not n.lstrip("-").isdigit():
+        raise SystemExit(
+            f"--token-budget expects GROUP:N (e.g. lang:200000), got {value!r}"
+        )
+    return (group, int(n))
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ulp_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -242,11 +255,7 @@ def main(argv: list[str] | None = None) -> int:
             splits=splits,
             checkpoint_dir=args.checkpoint_dir,
             min_logprob=args.min_logprob,
-            token_budget=(
-                (lambda g, n: (g, int(n)))(*args.token_budget.rsplit(":", 1))
-                if args.token_budget
-                else None
-            ),
+            token_budget=_parse_token_budget(args.token_budget),
         )
         from dataclasses import asdict
 

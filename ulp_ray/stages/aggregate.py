@@ -417,7 +417,6 @@ def quantile_filter(
 
 
 def grouped_moments(
-
     ds,
     keys: Sequence[str],
     value_col: str,
@@ -691,13 +690,11 @@ def cube_counts(ds, keys: Sequence[str]):
             out = out.union(
                 lvl.map_batches(pad_level(kept), batch_format="pyarrow", **remote_env())
             )
-    # grand total: fold the single-key coarsest level on the driver
-    first = sum_rollup(
-        finest.select_columns([key_list[0], "n"]), [key_list[0]], ["n"], count_col=None
-    )
+    # grand total: fold the finest level directly on the driver (it is
+    # already the smallest materialized table containing every row)
     grand = sum(
         int(pc.sum(b["n"], min_count=0).as_py() or 0)
-        for b in first.iter_batches(batch_format="pyarrow", batch_size=None)
+        for b in finest.iter_batches(batch_format="pyarrow", batch_size=None)
     )
     total = ray.data.from_arrow(pa.table({"n": pa.array([grand], pa.int64())}))
     return out.union(

@@ -200,6 +200,10 @@ def bloom_semi_join(
     from ._bucket import key_hash_u64
 
     rkey = right_on or on
+    if num_hashes < 1:
+        # validate BEFORE the auto-skip: otherwise the same invalid call
+        # succeeds on a small left and raises on a large one
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     if exact:
         ln = _free_count(left)
         rn = _free_count(right)

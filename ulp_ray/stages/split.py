@@ -196,15 +196,23 @@ def grouped_sample(
     Scale shape: the existing :func:`~.window.grouped_rank` co-group —
     one ``hash(group) % B`` exchange, a vectorized row_number per
     bucket, then a filter. Groups smaller than ``k`` pass through
-    whole. ``id_col`` must be integral and unique for the sample (and
-    its SQL twin) to be well-defined.
+    whole. ``id_col`` must be a unique NON-NEGATIVE integer (validated:
+    negatives diverge from DuckDB's sign-keeping ``%``); the SQL twin
+    additionally needs ``id·2654435761 < 2⁶³`` (ids ≲ 3.4e9) or DuckDB's
+    BIGINT multiply overflows — the engine itself wraps deterministically
+    at any magnitude.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     from .window import grouped_rank
 
     def add_hkey(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        raw = batch[id_col].to_numpy(zero_copy_only=False)
+        # negative ids silently diverge from the SQL twin (DuckDB %
+        # keeps the dividend's sign; the uint64 wrap here doesn't)
+        if len(raw) and raw.min() < 0:
+            raise ValueError(f"grouped_sample: {id_col} must be non-negative")
+        ids = raw.astype(np.uint64)
         h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
         return batch.append_column("__hkey", pa.array(h.astype(np.int64)))
 
@@ -245,7 +253,9 @@ def token_budget_sample(
 
     Exact SQL twin: ``SUM(c) OVER (PARTITION BY g ORDER BY
     (id*2654435761)%2^32, id) <= budget`` — the hash is plain integer
-    arithmetic both engines compute identically. Null costs count as 0.
+    arithmetic both engines compute identically for non-negative ids
+    (validated; same contract and twin ceiling as
+    :func:`grouped_sample`). Null costs count as 0.
 
     Scale shape: one ``hash(group) % B`` co-group (same contract as
     :func:`~.window.running_aggregate`: a group's rows land in one
@@ -262,7 +272,10 @@ def token_budget_sample(
     from ._bucket import with_bucket
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy(np.uint64)
+        raw = g[id_col].to_numpy()
+        if len(raw) and raw.min() < 0:  # SQL-twin parity: see grouped_sample
+            raise ValueError(f"token_budget_sample: {id_col} must be non-negative")
+        ids = raw.astype(np.uint64)
         h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
         g = g.assign(__hkey=h.astype(np.int64))
         g = g.sort_values([group_col, "__hkey", id_col], kind="stable")

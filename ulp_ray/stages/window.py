@@ -282,6 +282,16 @@ def rolling_time_aggregate(
         # searchsorted respects segment boundaries (sort order: NaT/NaN
         # last within a key, so `lifted` is non-decreasing)
         span = rng + np.int64(2) * (win_us + 1) + 2
+        n_segs = int(seg_id[-1]) + 1
+        # the band lift must stay inside int64 or searchsorted silently
+        # misreads a wrapped (non-monotonic) array — fail loudly instead
+        if int(span) * n_segs >= 2**63:
+            raise ValueError(
+                "rolling_time_aggregate: key-cardinality × time-range too "
+                f"large for the int64 band lift ({n_segs} segments × span "
+                f"{int(span)} µs) — raise `buckets` so fewer keys land per "
+                "bucket, or narrow the timestamp range"
+            )
         lifted = rel + seg_id * span
         vals = g[value_col].to_numpy()
         vnull = pd.isna(g[value_col]).to_numpy()
