@@ -491,3 +491,85 @@ def test_ngram_jaccard_pairs_property_vs_bruteforce(ray_session):
         assert got == want, (seed, t, vsize)
 
     prop()
+
+
+def test_cross_jaccard_pairs_matches_duckdb(ray_session):
+    """Cross-corpus exact n-gram Jaccard vs a DuckDB twin, including a
+    planted near-dup, a self-match (same id in both sides), probes with
+    no matches, and the probe-cap guard."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ulp_ray.stages.dedup import cross_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the old barn"
+    corpus_rows = [
+        (0, base),
+        (1, base.replace("quick", "speedy")),      # near-dup of probe 0
+        (2, "completely different text about database storage engines"),
+        (3, base),                                  # exact dup of probe 0
+        (4, None),
+        (5, "w1 w2 w3"),                            # too short for any match
+    ]
+    probe_rows = [(0, base), (100, "unrelated probe text entirely")]
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in corpus_rows], pa.int64()),
+            "text": pa.array([r[1] for r in corpus_rows], pa.string()),
+        }
+    )
+    probes = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in probe_rows], pa.int64()),
+            "text": pa.array([r[1] for r in probe_rows], pa.string()),
+        }
+    )
+    got = (
+        cross_jaccard_pairs(
+            ray.data.from_arrow(corpus).repartition(3),
+            ray.data.from_arrow(probes),
+            n=3,
+            threshold=0.5,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "probe_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("c", corpus)
+    con.register("p", probes)
+    exp = con.execute(
+        "WITH lc AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
+        "'\\s+'), x -> x <> '') AS ts FROM c), "
+        "lp AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
+        "'\\s+'), x -> x <> '') AS ts FROM p), "
+        "gc AS (SELECT DISTINCT doc_id, ts[i]||' '||ts[i+1]||' '||ts[i+2] "
+        "AS gram FROM lc, UNNEST(generate_series(1, len(ts)-2)) AS u(i)), "
+        "gp AS (SELECT DISTINCT doc_id, ts[i]||' '||ts[i+1]||' '||ts[i+2] "
+        "AS gram FROM lp, UNNEST(generate_series(1, len(ts)-2)) AS u(i)), "
+        "sc AS (SELECT doc_id, COUNT(*) AS sz FROM gc GROUP BY doc_id), "
+        "sp AS (SELECT doc_id, COUNT(*) AS sz FROM gp GROUP BY doc_id), "
+        "i AS (SELECT a.doc_id AS doc_id, b.doc_id AS probe_id, COUNT(*) "
+        "AS inter_n FROM gc a JOIN gp b ON a.gram = b.gram GROUP BY 1, 2) "
+        "SELECT i.doc_id, i.probe_id, CAST(i.inter_n AS BIGINT) AS inter_n, "
+        "CAST(sa.sz + sb.sz - i.inter_n AS BIGINT) AS union_n "
+        "FROM i JOIN sc sa ON sa.doc_id = i.doc_id "
+        "JOIN sp sb ON sb.doc_id = i.probe_id "
+        "WHERE i.inter_n >= 0.5 * (sa.sz + sb.sz - i.inter_n) "
+        "ORDER BY 1, 2"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the planted relations surfaced
+    pairs = set(zip(got["doc_id"], got["probe_id"]))
+    assert (0, 0) in pairs and (3, 0) in pairs and (1, 0) in pairs
+    assert all(p == 0 for _, p in pairs)  # probe 100 matches nothing
+    # probe cap guard
+    with pytest.raises(ValueError, match="broadcast_max_probes"):
+        cross_jaccard_pairs(
+            ray.data.from_arrow(corpus),
+            ray.data.from_arrow(probes),
+            broadcast_max_probes=1,
+        )

@@ -44,6 +44,7 @@ __all__ = [
     "simhash_candidates",
     "ngram_jaccard",
     "ngram_jaccard_pairs",
+    "cross_jaccard_pairs",
     "embedding_neardup",
     "embedding_neardup_lsh",
 ]
@@ -1060,4 +1061,165 @@ def ngram_jaccard_pairs(
         p2.union(s2)
         .groupby("__bucket")
         .map_groups(verify_b, batch_format="pandas", **remote_env())
+    )
+
+
+def cross_jaccard_pairs(
+    ds,
+    probes,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str | None = None,
+    probe_id_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.8,
+    broadcast_max_probes: int = 100_000,
+):
+    """EXACT word-n-gram Jaccard pairs BETWEEN two corpora — the
+    eval-set near-dup decontamination primitive: find every (corpus
+    doc, probe doc) pair whose distinct-shingle Jaccard clears
+    ``threshold``. Complements the containment-style contamination
+    screen (`stages/contamination.py` flags docs sharing even ONE
+    probe n-gram; this requires substantial set overlap). Dataset
+    ``(id_col, probe_id, inter_n, union_n)`` with the same integer
+    contract as :func:`ngram_jaccard_pairs`:
+    ``inter_n >= threshold * union_n``.
+
+    Scale shape: the PROBE side (eval/benchmark sets — small by
+    nature, capped at ``broadcast_max_probes`` docs) is shingled on
+    the driver into an inverted index (unique shingle → probe ids,
+    CSR offsets) shipped ONCE via ``ray.put``; the corpus then STREAMS
+    — per block: shingle, per-doc dedupe, one ``pc.index_in`` against
+    the probe-shingle vocabulary, a CSR expansion to (doc, probe)
+    pairs, and one ``np.unique`` count = the exact intersection. No
+    corpus shuffle at all; raw text never leaves its block. For probe
+    sets beyond the cap, fall back to the Bloom-prefiltered n-gram
+    containment join (`stages/contamination.py`) or MinHash.
+    """
+    import pandas as pd
+    import ray
+
+    from ._tokens import flat_tokens, word_ngrams_flat
+
+    pt = probe_text_col or text_col
+    pi = probe_id_col or id_col
+    n_probes = probes.count()
+    if n_probes > broadcast_max_probes:
+        raise ValueError(
+            f"cross_jaccard_pairs: probe side has {n_probes} rows — above "
+            f"broadcast_max_probes={broadcast_max_probes}; use the n-gram "
+            "containment screen or MinHash for corpus-sized right sides"
+        )
+
+    # driver-side probe prep: per-probe DISTINCT shingles -> inverted
+    # index (bounded by the probe cap, not the corpus)
+    probe_ids, gram_arrays, gram_probe = [], [], []
+    for b in probes.iter_batches(batch_format="pyarrow", batch_size=None):
+        flat, par = flat_tokens(b[pt])
+        grams, gpar = word_ngrams_flat(flat, par, n)
+        g_np = grams.to_numpy(zero_copy_only=False)
+        if len(g_np):
+            lid, luniq = pd.factorize(g_np)
+            key = gpar * np.int64(len(luniq)) + lid
+            uk = np.unique(key)
+            rows = (uk // len(luniq)).astype(np.int64)
+            gram_arrays.append(np.asarray(luniq)[uk % len(luniq)])
+            gram_probe.append(rows + len(probe_ids))
+        probe_ids.extend(b[pi].to_pylist())
+    if gram_arrays:
+        all_grams = np.concatenate(gram_arrays)
+        all_probe = np.concatenate(gram_probe)
+    else:
+        all_grams = np.array([], dtype=object)
+        all_probe = np.array([], dtype=np.int64)
+    vid, vocab = pd.factorize(all_grams)
+    order = np.argsort(vid, kind="stable")
+    probe_flat = all_probe[order]
+    counts = np.bincount(vid, minlength=len(vocab)) if len(vocab) else np.array([], np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    probe_sz = np.bincount(all_probe, minlength=len(probe_ids)).astype(np.int64)
+    bundle_ref = ray.put(
+        (
+            pa.array(np.asarray(vocab), pa.string()) if len(vocab) else pa.array([], pa.string()),
+            offsets,
+            probe_flat,
+            probe_sz,
+            np.asarray(probe_ids),
+        )
+    )
+    n_p = max(len(probe_ids), 1)
+    # ship the TYPE, not the id list — the list must only travel once,
+    # inside the ray.put bundle, never in every task's closure
+    probe_id_type = (
+        pa.array(np.asarray(probe_ids)[:0]).type if probe_ids else pa.int64()
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                (id_col, batch.schema.field(id_col).type),
+                ("probe_id", probe_id_type),
+                ("inter_n", pa.int64()),
+                ("union_n", pa.int64()),
+            ]
+        )
+        vocab_keys, offs, pflat, psz, pids = ray.get(bundle_ref)
+        if len(vocab_keys) == 0:
+            return out_schema.empty_table()
+        flat, par = flat_tokens(batch[text_col])
+        grams, gpar = word_ngrams_flat(flat, par, n)
+        g_np = grams.to_numpy(zero_copy_only=False)
+        if not len(g_np):
+            return out_schema.empty_table()
+        lid, luniq = pd.factorize(g_np)
+        L = len(luniq)
+        key = gpar * np.int64(L) + lid
+        uk = np.unique(key)
+        rows = (uk // L).astype(np.int64)
+        lids = (uk % L).astype(np.int64)
+        doc_sz = np.bincount(rows, minlength=batch.num_rows).astype(np.int64)
+        vmap = (
+            pc.fill_null(
+                pc.index_in(pa.array(np.asarray(luniq), pa.string()), value_set=vocab_keys),
+                -1,
+            )
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        v = vmap[lids]
+        keep = v >= 0
+        if not keep.any():
+            return out_schema.empty_table()
+        rows_k, v_k = rows[keep], v[keep]
+        start, cnt = offs[v_k], offs[v_k + 1] - offs[v_k]
+        total = int(cnt.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        # CSR range gather: probe ids of every (doc, shingle) expansion
+        base = np.repeat(start, cnt)
+        step = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        probes_e = pflat[base + step]
+        docs_e = np.repeat(rows_k, cnt)
+        pair = docs_e * np.int64(n_p) + probes_e
+        upair, inter = np.unique(pair, return_counts=True)
+        d = (upair // n_p).astype(np.int64)
+        p = (upair % n_p).astype(np.int64)
+        union = doc_sz[d] + psz[p] - inter
+        ok = inter >= threshold * union
+        if not ok.any():
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                id_col: batch[id_col].take(pa.array(d[ok])),
+                "probe_id": pa.array(pids[p[ok]]),
+                "inter_n": pa.array(inter[ok].astype(np.int64)),
+                "union_n": pa.array(union[ok].astype(np.int64)),
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(
+        score, batch_format="pyarrow", batch_size=None, **remote_env()
     )
