@@ -511,3 +511,44 @@ def test_rolling_frame_aggregate_vs_duckdb(ray_session):
         rolling_frame_aggregate(ds, "k", ["o"], "v", 1, 1, agg="max")
     with pytest.raises(ValueError, match=">= 0"):
         rolling_frame_aggregate(ds, "k", ["o"], "v", -1, 0)
+
+
+def test_fill_time_gaps_matches_duckdb(ray_session):
+    """Dense per-key time series: gaps between each key's min and max
+    bucket are zero-filled; values at observed buckets survive."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ulp_ray.stages.window import fill_time_gaps
+
+    rng = np.random.default_rng(23)
+    base = pd.Timestamp("2024-03-01")
+    rows = []
+    for k in ["a", "b", "c"]:
+        hours = np.unique(rng.integers(0, 50, size=12))
+        for h in hours:
+            rows.append((k, base + pd.Timedelta(hours=int(h)), int(rng.integers(1, 9))))
+    df = pd.DataFrame(rows, columns=["k", "ws", "n"])
+    ds = ray.data.from_pandas(df)
+    got = (
+        fill_time_gaps(ds, ["k"], "ws", step_s=3600)
+        .to_pandas()
+        .sort_values(["k", "ws"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "WITH r AS (SELECT k, MIN(ws) AS mn, MAX(ws) AS mx FROM t GROUP BY k), "
+        "g AS (SELECT k, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) "
+        "AS ws FROM r) "
+        "SELECT g.k, g.ws, CAST(COALESCE(t.n, 0) AS BIGINT) AS n "
+        "FROM g LEFT JOIN t ON t.k = g.k AND t.ws = g.ws "
+        "ORDER BY 1, 2"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    with pytest.raises(ValueError, match="positive"):
+        fill_time_gaps(ds, ["k"], "ws", step_s=0)

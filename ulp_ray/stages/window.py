@@ -39,6 +39,7 @@ __all__ = [
     "rolling_aggregate",
     "rolling_time_aggregate",
     "rolling_frame_aggregate",
+    "fill_time_gaps",
     "grouped_rank",
     "lag_column",
     "edge_value_column",
@@ -628,4 +629,79 @@ def session_windows(
         with_bucket(ds, [key], buckets)
         .groupby("__bucket")
         .map_groups(sessionize, batch_format="pandas", **remote_env())
+    )
+
+
+def fill_time_gaps(
+    ds,
+    keys: list[str],
+    bucket_col: str,
+    step_s: int,
+    count_col: str = "n",
+    buckets: int | None = None,
+):
+    """Densify a per-key time-bucketed aggregate: for every key tuple,
+    emit one row per ``step_s`` bucket between that key's min and max
+    observed bucket, zero-filling the gaps — the dense-time-series
+    primitive feature pipelines need on top of :func:`tumbling_counts`
+    (sparse GROUP BY output has no rows for empty windows; models want
+    explicit zeros). Input ``keys + [bucket_col(timestamp), count_col]``;
+    output the same columns, dense per key.
+
+    One ``hash(keys) % B`` co-group (a key's whole history in one
+    bucket); the in-bucket body is vectorized across keys — per-segment
+    ranges materialize via one repeat/arange pass and observed counts
+    scatter onto the dense grid by integer position. Output row count
+    is Σ_key (range/step + 1): bound the bucket span upstream for keys
+    with multi-year ranges at tiny steps.
+    """
+    if step_s <= 0:
+        raise ValueError(f"step_s must be positive, got {step_s}")
+
+    from ._bucket import with_bucket
+
+    step_us = np.int64(step_s) * 1_000_000
+
+    def densify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + [bucket_col], kind="stable").drop(
+            columns="__bucket"
+        )
+        m = len(g)
+        if m == 0:
+            return g
+        ts = g[bucket_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        kdf = g[keys]
+        change = np.zeros(m, dtype=bool)
+        change[0] = True
+        for c in keys:
+            col = kdf[c].to_numpy()
+            nul = pd.isna(kdf[c]).to_numpy()
+            change[1:] |= (col[1:] != col[:-1]) & ~(nul[1:] & nul[:-1])
+        starts = np.flatnonzero(change)
+        seg_min = ts[starts]
+        ends = np.r_[starts[1:], m] - 1
+        seg_max = ts[ends]
+        lens = ((seg_max - seg_min) // step_us + 1).astype(np.int64)
+        total = int(lens.sum())
+        base = np.repeat(seg_min, lens)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        dense_ts = base + within * step_us
+        # scatter observed counts onto the dense grid
+        seg_off = np.repeat(np.cumsum(lens) - lens, np.r_[starts[1:], m] - starts)
+        pos = seg_off + (ts - np.repeat(seg_min, np.r_[starts[1:], m] - starts)) // step_us
+        dense_n = np.zeros(total, dtype=np.int64)
+        dense_n[pos] = g[count_col].to_numpy()
+        out = {
+            c: kdf[c].to_numpy()[np.repeat(starts, lens)] for c in keys
+        }
+        out[bucket_col] = dense_ts.astype("datetime64[us]")
+        out[count_col] = dense_n
+        return pd.DataFrame(out)
+
+    return (
+        with_bucket(ds, keys, buckets)
+        .groupby("__bucket")
+        .map_groups(densify, batch_format="pandas", **remote_env())
     )
