@@ -574,3 +574,36 @@ def test_duplicated_window_stats_matches_duckdb(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, got_join, check_dtype=False)
+
+
+def test_token_entropy_matches_duckdb(docs):
+    """Shannon token entropy per doc vs an exact-formula DuckDB twin;
+    repeated-single-token doc -> 0, null/empty docs -> null."""
+    import duckdb
+
+    from ulp_ray.functions.text import token_entropy
+
+    _, t = docs
+    got = token_entropy(t["text"]).to_pylist()
+    con = duckdb.connect()
+    con.register("documents", t)
+    exp = con.execute(
+        "WITH f AS (SELECT doc_id, unnest(list_filter("
+        "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token "
+        "FROM documents), "
+        "c AS (SELECT doc_id, token, COUNT(*) AS cnt FROM f "
+        "GROUP BY doc_id, token), "
+        "t2 AS (SELECT doc_id, SUM(cnt) AS tot FROM c GROUP BY doc_id) "
+        "SELECT d.doc_id, ROUND(e.ent, 4) AS entropy FROM documents d "
+        "LEFT JOIN (SELECT c.doc_id, -SUM((cnt/tot) * LN(cnt/tot)) AS ent "
+        "FROM c JOIN t2 USING (doc_id) GROUP BY c.doc_id) e "
+        "ON d.doc_id = e.doc_id ORDER BY d.doc_id"
+    ).fetchall()
+    for (_, want), have in zip(exp, got):
+        if want is None:
+            assert have is None
+        else:
+            assert abs(have - want) < 1e-9
+    # "cat cat cat": single distinct token -> entropy 0
+    assert got[3] == 0.0
+    assert got[4] is None and got[5] is None

@@ -20,6 +20,7 @@ __all__ = [
     "lang_id",
     "lang_id_batch",
     "quality_features",
+    "token_entropy",
     "fingerprint64",
     "fingerprint_batch",
     "redact_pii",
@@ -326,4 +327,44 @@ def repetition_features(arr: pa.Array | pa.ChunkedArray) -> pa.Table:
             "n_distinct_tokens": col(tk_distinct),
             "max_token_count": col(tk_max),
         }
+    )
+
+
+def token_entropy(batch_text: pa.Array | pa.ChunkedArray, decimals: int = 4) -> pa.Array:
+    """Per-document Shannon entropy of the token distribution (nats):
+    ``−Σ_t p_t · ln p_t`` over the doc's own whitespace tokens — the
+    standard gibberish/repetition quality signal (a doc repeating one
+    token has entropy 0; uniform token use maximizes it). Null/empty
+    docs → null. Rounded half-away to ``decimals`` (DuckDB ROUND
+    lockstep; the only FP hazard is summation-order last-digits — the
+    BM25 contract).
+
+    Fully vectorized: one tokenize, one C-level distinct-(doc, token)
+    pass, one bincount per-doc fold — no per-doc Python."""
+    import numpy as np
+
+    from ..stages._tokens import distinct_pair_stats, flat_tokens
+
+    arr = (
+        batch_text.combine_chunks()
+        if isinstance(batch_text, pa.ChunkedArray)
+        else batch_text
+    )
+    n = len(arr)
+    flat, par = flat_tokens(arr)
+    out = np.full(n, np.nan)
+    if len(flat):
+        _, pair_row, _, pair_count = distinct_pair_stats(
+            par, flat.to_numpy(zero_copy_only=False)
+        )
+        totals = np.bincount(par, minlength=n).astype(np.float64)
+        p = pair_count / totals[pair_row]
+        contrib = -p * np.log(p)
+        ent = np.bincount(pair_row, weights=contrib, minlength=n)
+        has = np.bincount(par, minlength=n) > 0
+        out[has] = ent[has]
+    return pc.round(
+        pa.array(out, pa.float64(), from_pandas=True),  # NaN -> null
+        ndigits=decimals,
+        round_mode="half_towards_infinity",
     )
