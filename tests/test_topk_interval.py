@@ -447,3 +447,61 @@ def test_grouping_sets_matches_duckdb(ray_session):
         grouping_sets_counts(ds, ["a"], [])
     with pytest.raises(ValueError, match="not in keys"):
         grouping_sets_counts(ds, ["a"], [["z"]])
+
+
+def test_grouped_corr_matches_duckdb(ray_session):
+    """Grouped Pearson correlation vs DuckDB's CORR, including null
+    pairs (excluded), a zero-variance group (null), and a single-pair
+    group (null)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ulp_ray.stages.aggregate import grouped_corr
+
+    rng = np.random.default_rng(29)
+    n = 400
+    g = rng.integers(0, 4, n)
+    x = rng.integers(-100, 100, n).astype("float64")
+    y = (x * 3 + rng.integers(-40, 40, n)).astype("float64")
+    x[g == 2] = 7.0          # zero variance group -> null
+    x[[5, 17]] = np.nan      # null pairs excluded
+    y[[9, 17]] = np.nan
+    t = pa.table(
+        {
+            "g": pa.array([f"g{v}" for v in g]),
+            "x": pa.array(x, pa.float64(), from_pandas=True),
+            "y": pa.array(y, pa.float64(), from_pandas=True),
+        }
+    )
+    got = (
+        grouped_corr(ray.data.from_arrow(t).repartition(3), ["g"], "x", "y")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        "SELECT g, CAST(COUNT(*) FILTER (x IS NOT NULL AND y IS NOT NULL) "
+        "AS BIGINT) AS n, ROUND(CORR(x, y), 4) AS corr "
+        "FROM t GROUP BY g ORDER BY g"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got[got["g"] == "g2"]["corr"].isna().all()
+    # integer inputs take the exact int64-sum path
+    ti = pa.table(
+        {
+            "g": pa.array(["a"] * 6 + ["b"] * 6),
+            "x": pa.array(list(range(6)) + [1, 2, 3, 4, 5, 6], pa.int64()),
+            "y": pa.array([2, 4, 6, 8, 10, 12] + [6, 5, 4, 3, 2, 1], pa.int64()),
+        }
+    )
+    got_i = (
+        grouped_corr(ray.data.from_arrow(ti), ["g"], "x", "y")
+        .to_pandas()
+        .set_index("g")["corr"]
+    )
+    assert got_i["a"] == 1.0 and got_i["b"] == -1.0

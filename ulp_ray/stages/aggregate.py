@@ -40,6 +40,7 @@ __all__ = [
     "quantile_filter",
     "pivot_counts",
     "grouped_moments",
+    "grouped_corr",
     "grouped_collect",
     "rollup_counts",
     "cube_counts",
@@ -414,6 +415,103 @@ def quantile_filter(
         return batch.filter(pa.array(m))
 
     return ds.map_batches(bfilter, batch_format="pyarrow", **remote_env())
+
+
+def grouped_corr(
+    ds,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    decimals: int = 4,
+):
+    """Grouped Pearson correlation — SQL ``CORR(x, y) GROUP BY keys``
+    semantics (pairs where EITHER side is null are excluded; groups with
+    fewer than 2 complete pairs or zero variance yield null). Dataset
+    ``keys + [n, corr]``.
+
+    Mergeable-partials shape: each block folds to one row per key
+    carrying ``(n, Σx, Σy, Σx², Σy², Σxy)`` (Arrow hash-aggregate), the
+    fixed-width partials sum through :func:`sum_rollup`, and the
+    correlation is one final map — raw rows never shuffle. With integer
+    inputs the six sums are EXACT, so the final float formula is
+    bit-deterministic on both engines — feed scaled ints (cents,
+    epoch seconds) and write the oracle as the explicit formula over
+    ``CAST(SUM(...) AS BIGINT)``s rather than ``CORR()`` for an exact
+    4dp contract; float inputs work but carry the usual
+    summation-order last-digit hazard.
+    """
+    import numpy as np
+    import ray
+
+    from .._env import remote_env
+
+    key_list = list(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[x_col]
+        y = batch[y_col]
+        ok = pc.and_(pc.is_valid(x), pc.is_valid(y))
+        t = batch.filter(ok).select(key_list + [x_col, y_col])
+        # integer inputs keep EXACT int64 sums (the grouped_moments
+        # fixed-point convention — multiply_checked fails loudly if a
+        # product would wrap); floats fall back to float64 partials
+        int_mode = pa.types.is_integer(x.type) and pa.types.is_integer(y.type)
+        tgt = pa.int64() if int_mode else pa.float64()
+        mul = pc.multiply_checked if int_mode else pc.multiply
+        xf = pc.cast(t[x_col], tgt)
+        yf = pc.cast(t[y_col], tgt)
+        t2 = pa.table(
+            {
+                **{k: t[k] for k in key_list},
+                "sx": xf,
+                "sy": yf,
+                "sxx": mul(xf, xf),
+                "syy": mul(yf, yf),
+                "sxy": mul(xf, yf),
+            }
+        )
+        g = t2.group_by(key_list).aggregate(
+            [(c, "sum") for c in ("sx", "sy", "sxx", "syy", "sxy")]
+            + [([], "count_all")]
+        )
+        cols = {k: g[k] for k in key_list}
+        for c in ("sx", "sy", "sxx", "syy", "sxy"):
+            cols[c] = g[f"{c}_sum"]
+        cols["n"] = pc.cast(g["count_all"], pa.int64())
+        return pa.table(cols)
+
+    folded = sum_rollup(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None, **remote_env()),
+        key_list,
+        ["sx", "sy", "sxx", "syy", "sxy", "n"],
+        count_col=None,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # all-float64 formula arithmetic (int64 sx*sx could wrap in
+        # numpy); the SQL twin casts its exact BIGINT sums to DOUBLE
+        # before the same formula, so both engines run identical IEEE
+        # ops on identical inputs
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = batch["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = batch["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = batch["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        syy = batch["syy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = batch["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        num = n * sxy - sx * sy
+        den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = np.where((n >= 2) & (den2 > 0), num / np.sqrt(den2), np.nan)
+        cols = {k: batch[k] for k in key_list}
+        cols["n"] = pc.cast(batch["n"], pa.int64())
+        cols["corr"] = pc.round(
+            pa.array(corr, pa.float64(), from_pandas=True),  # NaN -> null
+            ndigits=decimals,
+            round_mode="half_towards_infinity",
+        )
+        return pa.table(cols)
+
+    return folded.map_batches(finish, batch_format="pyarrow", **remote_env())
 
 
 def grouped_moments(
